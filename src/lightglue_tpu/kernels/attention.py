@@ -1,0 +1,281 @@
+"""Fused online-softmax attention (FlashAttention-2) as a Pallas TPU kernel.
+
+This is the TPU-native replacement for the reference's hand-written
+CUTLASS/CuTe TensorRT plugin (reference
+lightglue_attention_plugin/attention_headdim_64_fp16in_fp16out.cu:253-733 and
+attention_headdim_64_fp16in_fp32out.cu) — the centerpiece of the whole
+project. Design correspondences (see SURVEY.md §2.4):
+
+- One grid step owns one (batch, head, Q-stripe) and streams KV tiles with a
+  running (row-max m, row-sum l, output O) carry — the same online-softmax
+  recurrence the CUDA kernel keeps in registers/smem
+  (reference ...fp16out.cu:510-644). On TPU the MXU does the two GEMMs and the
+  VPU the softmax; there is no smem round-trip for P (the CUDA kernel's
+  ldmatrix trick at :653-668) because Mosaic keeps tiles in VMEM/registers.
+- The scale 1/sqrt(head_dim) is applied *after* the QK^T matmul, matching the
+  reference (...fp16out.cu:467-470).
+- Variable sequence length is handled by in-kernel masking against the true
+  lengths instead of the reference's physical pad/unpad kernels
+  (...fp16out.cu:736-857): padded KV columns get -inf before the softmax and
+  padded Q rows are zeroed on the way out — the same contract as the CUDA
+  tail-tile masking (...fp16out.cu:475-494,695-701).
+- Two accumulation policies mirror the two plugin variants:
+  * ``stat_dtype=float32``  == fp16in/fp32out: fp32 S accumulation, fp32
+    softmax statistics, fp32 O accumulation (...fp16in_fp32out.cu:170,551-574).
+  * ``stat_dtype=bfloat16`` == fp16in/fp16out: 16-bit softmax statistics and
+    O accumulation (...fp16in_fp16out.cu:556-580 keeps row stats in fp16).
+
+Shapes are (batch, heads, seq, head_dim); seq must be a multiple of the KV
+block (buckets 256/512/1024 always are). head_dim=64 is the LightGlue case
+but any multiple of 64 lane-packs fine.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU (CPU test meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def _attn_kernel(
+    lens_ref,  # SMEM (B, 2) int32: [q_len, kv_len] per batch element
+    q_ref,     # VMEM (1, 1, block_q, D)
+    k_ref,     # VMEM (1, 1, Nk, D)
+    v_ref,     # VMEM (1, 1, Nk, D)
+    o_ref,     # VMEM (1, 1, block_q, D)
+    *,
+    scale: float,
+    block_k: int,
+    num_kv_blocks: int,
+    stat_dtype,
+    masked: bool,
+):
+    block_q = q_ref.shape[2]
+    head_dim = q_ref.shape[3]
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+
+    q = q_ref[0, 0, :, :]
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=stat_dtype)
+    l0 = jnp.zeros((block_q, 1), dtype=stat_dtype)
+    acc0 = jnp.zeros((block_q, head_dim), dtype=stat_dtype)
+
+    if masked:
+        kv_len = lens_ref[b, 1]
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k_tile = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_tile = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+
+        # S = Q K^T, contraction over head_dim on the MXU.
+        s = jax.lax.dot_general(
+            q,
+            k_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=stat_dtype,
+        )
+        s = s * jnp.asarray(scale, dtype=stat_dtype)
+
+        if masked:
+            col = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(col < kv_len, s, jnp.asarray(_NEG_INF, stat_dtype))
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+
+        # P V on the MXU; P is cast to the KV operand dtype like the CUDA
+        # kernel's P fp32->fp16 requantization before the PV MMA
+        # (reference ...fp16in_fp32out.cu:563-574).
+        pv = jax.lax.dot_general(
+            p.astype(v_tile.dtype),
+            v_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=stat_dtype,
+        )
+        acc_new = acc * correction + pv
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+
+    # Epilogue: O /= l; fully-masked (padded) rows have l == 0 and must emit
+    # zeros (reference ...fp16out.cu:695-701 forces pad rows to 0).
+    l_safe = jnp.where(l == 0.0, jnp.asarray(1.0, stat_dtype), l)
+    out = acc / l_safe
+    if masked:
+        q_len = lens_ref[b, 0]
+        row = iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, head_dim), 0
+        )
+        out = jnp.where(row < q_len, out, jnp.zeros_like(out))
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale",
+        "stat_dtype",
+        "out_dtype",
+        "block_q",
+        "block_k",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    stat_dtype=jnp.float32,
+    out_dtype=None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Fused scaled-dot-product attention.
+
+    Args:
+      q: (B, H, Nq, D) queries.
+      k: (B, H, Nk, D) keys.
+      v: (B, H, Nk, D) values.
+      lengths: optional (B, 2) int32 of true [q_len, kv_len] per batch
+        element; positions beyond them are masked (KV) / zeroed (Q). None
+        means all positions are real.
+      scale: softmax scale; defaults to 1/sqrt(D) (the reference hardcodes
+        0.125 for D=64, ...fp16out.cu:467).
+      stat_dtype: dtype of softmax statistics and O accumulation — float32
+        mirrors the fp16in/fp32out plugin variant, bfloat16 the
+        fp16in/fp16out one.
+      out_dtype: output dtype (defaults to q.dtype).
+      block_q / block_k: Q-stripe and KV-tile sizes; seq dims must divide.
+
+    Returns:
+      (B, H, Nq, D) attention output.
+    """
+    batch, heads, nq, head_dim = q.shape
+    nk = k.shape[2]
+    if v.shape != k.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k:
+        raise ValueError(
+            f"seq lengths ({nq}, {nk}) must be multiples of blocks "
+            f"({block_q}, {block_k}) — pad to a bucket first"
+        )
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    out_dtype = out_dtype or q.dtype
+    stat_dtype = jnp.dtype(stat_dtype)
+
+    masked = lengths is not None
+    if lengths is None:
+        lengths = jnp.full((batch, 2), nq, dtype=jnp.int32)
+        lengths = lengths.at[:, 1].set(nk)
+    lengths = lengths.astype(jnp.int32)
+
+    num_q_blocks = nq // block_q
+    num_kv_blocks = nk // block_k
+
+    kernel = functools.partial(
+        _attn_kernel,
+        scale=float(scale),
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        stat_dtype=stat_dtype,
+        masked=masked,
+    )
+
+    flops = 2 * 2 * batch * heads * nq * nk * head_dim
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, heads, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (batch, 2), lambda b, h, iq: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim),
+                lambda b, h, iq: (b, h, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nk, head_dim),
+                lambda b, h, iq: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nk, head_dim),
+                lambda b, h, iq: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, iq: (b, h, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, nq, head_dim), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + batch * heads * nq * head_dim * jnp.dtype(out_dtype).itemsize,
+            transcendentals=batch * heads * nq * nk,
+        ),
+        interpret=_interpret(),
+    )(lengths, q, k, v)
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Naive fp32 softmax(QK^T/sqrt(D))V — the correctness oracle.
+
+    The jnp analog of the reference's retained slow path
+    (lightglue_pytorch_no_plugin/lightglue.py:110-114: query/8 -> matmul ->
+    softmax -> matmul).
+    """
+    head_dim = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if lengths is not None:
+        nk = k.shape[2]
+        kv_mask = jnp.arange(nk)[None, :] < lengths[:, 1][:, None]  # (B, Nk)
+        s = jnp.where(kv_mask[:, None, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+    if lengths is not None:
+        nq = q.shape[2]
+        q_mask = jnp.arange(nq)[None, :] < lengths[:, 0][:, None]  # (B, Nq)
+        out = jnp.where(q_mask[:, None, :, None], out, 0.0)
+    return out.astype(q.dtype)
