@@ -1,0 +1,349 @@
+"""LightGlue transformer matcher as pure-pytree JAX functions.
+
+TPU-first re-design of the reference PyTorch model
+(lightglue_pytorch_with_plugin/lightglue.py:65-384). Architectural contract
+honored (SURVEY.md §2.3):
+
+- learnable Fourier positional encoding: Wr 2->head_dim/2, cos/sin duplicated
+  pairwise to head_dim (lightglue.py:65-84), applied as interleaved-pair RoPE
+  (t*cos + rotate_half(t)*sin, lightglue.py:154-165) to q and k in
+  self-attention only;
+- SelfBlock: fused Wqkv 256->768, out_proj, FFN cat(x, message) ->
+  512->512 -> LayerNorm -> GELU -> 512->256 with residual (lightglue.py:127-152);
+- CrossBlock: shared to_qk projection used as both query and key
+  (bidirectional symmetric attention), to_v / to_out, same FFN
+  (lightglue.py:177-205);
+- MatchAssignment: final_proj scaled by dim**0.25 each side, dual log_softmax
+  + log-sigmoid matchability (lightglue.py:229-258);
+- TokenConfidence head for adaptive depth (lightglue.py:87-99) — compiled out
+  of the reference's exported graph, implemented device-side here.
+
+Differences by design (not omissions):
+- All 9 layers run under one ``lax.scan`` over stacked parameters — one
+  compiled layer body instead of 9 unrolled ones.
+- Batched over image pairs (leading B axis) with per-pair true keypoint
+  counts; padded keypoints are masked inside the attention kernel and the
+  match head instead of shipping exact-shape tensors like the reference's
+  dynamic ONNX axes.
+- Adaptive depth runs as a ``lax.while_loop`` (see ``forward_adaptive``) with
+  no host round-trip.
+
+Parameter layout: weights are stored (in_features, out_features) so the
+forward is ``x @ w + b`` (torch stores the transpose). The fused Wqkv is
+pre-split at load time into component-major columns [q | k | v], each
+(in, heads*head_dim) with head-major layout — the torch packing is
+(head, head_dim, 3)-interleaved (lightglue.py:140-142); see
+``runtime/weights.py`` for the conversion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lightglue_tpu.config import LightGlueConfig
+from lightglue_tpu.kernels.attention import flash_attention
+from lightglue_tpu.precision import DTypePolicy
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _layer_norm(g, b, x, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * g + b).astype(x.dtype)
+
+
+def posenc(p, kpts: jax.Array, head_dim: int) -> jax.Array:
+    """Learnable Fourier positional encoding -> (2, B, N, head_dim).
+
+    reference lightglue.py:75-84: project (x, y) to head_dim/2 frequencies,
+    take cos/sin, duplicate each value pairwise along the feature axis so the
+    encoding matches the interleaved-pair rotation below.
+    """
+    projected = kpts @ p["wr"]  # (B, N, head_dim//2)
+    emb = jnp.stack([jnp.cos(projected), jnp.sin(projected)], axis=0)
+    # duplicate pairwise: f -> [f0, f0, f1, f1, ...]
+    emb = jnp.repeat(emb, 2, axis=-1)  # (2, B, N, head_dim)
+    return emb
+
+
+def rotate_half(t: jax.Array) -> jax.Array:
+    """Interleaved-pair rotation: (..., [x0, y0, x1, y1]) -> (..., [-y0, x0, -y1, x1]).
+
+    reference lightglue.py:154-159 (reshape to (..., d/2, 2), stack(-t1, t0)).
+    """
+    shape = t.shape
+    t = t.reshape(*shape[:-1], shape[-1] // 2, 2)
+    t = jnp.stack([-t[..., 1], t[..., 0]], axis=-1)
+    return t.reshape(shape)
+
+
+def apply_rotary(freqs: jax.Array, t: jax.Array) -> jax.Array:
+    """t*cos + rotate_half(t)*sin, freqs (2, B, N, D) onto t (B, H, N, D)."""
+    cos = freqs[0][:, None, :, :]
+    sin = freqs[1][:, None, :, :]
+    return t * cos.astype(t.dtype) + rotate_half(t) * sin.astype(t.dtype)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, N, H*D) -> (B, H, N, D) with head-major columns."""
+    b, n, hd = x.shape
+    return x.reshape(b, n, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, N, D) -> (B, N, H*D)."""
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def _attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: Optional[jax.Array],
+    policy: DTypePolicy,
+) -> jax.Array:
+    out = flash_attention(
+        q.astype(policy.attn_in_dtype),
+        k.astype(policy.attn_in_dtype),
+        v.astype(policy.attn_in_dtype),
+        lengths,
+        stat_dtype=policy.attn_stat_dtype,
+        out_dtype=policy.attn_out_dtype,
+    )
+    return out.astype(q.dtype)
+
+
+def _ffn(p, x: jax.Array, message: jax.Array) -> jax.Array:
+    """Residual FFN over cat(x, message) (reference lightglue.py:130-135,152)."""
+    h = jnp.concatenate([x, message], axis=-1)
+    h = _linear(p["ffn1"], h)
+    h = _layer_norm(p["ln_g"], p["ln_b"], h)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _linear(p["ffn2"], h)
+    return x + h
+
+
+def self_block(
+    p,
+    x: jax.Array,
+    freqs: jax.Array,
+    lengths: Optional[jax.Array],
+    num_heads: int,
+    policy: DTypePolicy,
+) -> jax.Array:
+    """Self-attention block (reference lightglue.py:118-152)."""
+    qkv = _linear(p["qkv"], x)  # (B, N, 3*E), columns [q | k | v]
+    e = x.shape[-1]
+    q = _split_heads(qkv[..., :e], num_heads)
+    k = _split_heads(qkv[..., e : 2 * e], num_heads)
+    v = _split_heads(qkv[..., 2 * e :], num_heads)
+    q = apply_rotary(freqs, q)
+    k = apply_rotary(freqs, k)
+    lens2 = None if lengths is None else jnp.stack([lengths, lengths], axis=-1)
+    context = _attend(q, k, v, lens2, policy)
+    message = _linear(p["out"], _merge_heads(context))
+    return _ffn(p, x, message)
+
+
+def cross_block(
+    p,
+    x0: jax.Array,
+    x1: jax.Array,
+    lengths0: Optional[jax.Array],
+    lengths1: Optional[jax.Array],
+    num_heads: int,
+    policy: DTypePolicy,
+) -> Tuple[jax.Array, jax.Array]:
+    """Bidirectional symmetric cross-attention (reference lightglue.py:168-205).
+
+    One shared projection produces both the queries and keys of either side.
+    """
+    qk0 = _split_heads(_linear(p["qk"], x0), num_heads)
+    qk1 = _split_heads(_linear(p["qk"], x1), num_heads)
+    v0 = _split_heads(_linear(p["v"], x0), num_heads)
+    v1 = _split_heads(_linear(p["v"], x1), num_heads)
+    if lengths0 is None:
+        l01 = l10 = None
+    else:
+        l01 = jnp.stack([lengths0, lengths1], axis=-1)
+        l10 = jnp.stack([lengths1, lengths0], axis=-1)
+    m0 = _attend(qk0, qk1, v1, l01, policy)
+    m1 = _attend(qk1, qk0, v0, l10, policy)
+    m0 = _linear(p["out"], _merge_heads(m0))
+    m1 = _linear(p["out"], _merge_heads(m1))
+    return _ffn(p, x0, m0), _ffn(p, x1, m1)
+
+
+def transformer_layer(
+    p,
+    d0: jax.Array,
+    d1: jax.Array,
+    freqs0: jax.Array,
+    freqs1: jax.Array,
+    lengths0: Optional[jax.Array],
+    lengths1: Optional[jax.Array],
+    num_heads: int,
+    policy: DTypePolicy,
+) -> Tuple[jax.Array, jax.Array]:
+    """self(d0) -> self(d1) -> cross (reference lightglue.py:208-226)."""
+    d0 = self_block(p["self_attn"], d0, freqs0, lengths0, num_heads, policy)
+    d1 = self_block(p["self_attn"], d1, freqs1, lengths1, num_heads, policy)
+    return cross_block(p["cross_attn"], d0, d1, lengths0, lengths1, num_heads, policy)
+
+
+def match_assignment(
+    p,
+    d0: jax.Array,
+    d1: jax.Array,
+    mask0: Optional[jax.Array],
+    mask1: Optional[jax.Array],
+    dim: int,
+) -> jax.Array:
+    """Log assignment matrix (reference lightglue.py:229-258).
+
+    scores = log_softmax(sim, cols) + log_softmax(sim, rows)
+           + logsigmoid(z0) + logsigmoid(z1)^T
+
+    Softmax math runs in fp32 regardless of activation dtype; padded rows /
+    columns are excluded from the softmaxes and forced to -inf so the match
+    filter can never select them (the reference needs no masking because it
+    ships exact shapes).
+    """
+    scale = float(dim) ** 0.25
+    md0 = (_linear(p["proj"], d0) / scale).astype(jnp.float32)
+    md1 = (_linear(p["proj"], d1) / scale).astype(jnp.float32)
+    sim = jnp.einsum("bmd,bnd->bmn", md0, md1, preferred_element_type=jnp.float32)
+    z0 = _linear(p["match"], d0).astype(jnp.float32)  # (B, M, 1)
+    z1 = _linear(p["match"], d1).astype(jnp.float32)  # (B, N, 1)
+    certainties = jax.nn.log_sigmoid(z0) + jnp.swapaxes(
+        jax.nn.log_sigmoid(z1), -1, -2
+    )
+    if mask1 is not None:
+        sim = jnp.where(mask1[:, None, :], sim, _NEG_INF)
+    scores0 = jax.nn.log_softmax(sim, axis=2)
+    if mask0 is not None:
+        sim = jnp.where(mask0[:, :, None], sim, _NEG_INF)
+    scores1 = jax.nn.log_softmax(sim, axis=1)
+    scores = scores0 + scores1 + certainties
+    if mask0 is not None:
+        scores = jnp.where(mask0[:, :, None], scores, _NEG_INF)
+    if mask1 is not None:
+        scores = jnp.where(mask1[:, None, :], scores, _NEG_INF)
+    return scores
+
+
+def token_confidence(p, d0: jax.Array, d1: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token confidence in [0, 1] (reference lightglue.py:87-99)."""
+    c0 = jax.nn.sigmoid(_linear(p, d0))[..., 0]
+    c1 = jax.nn.sigmoid(_linear(p, d1))[..., 0]
+    return c0, c1
+
+
+def matchability(p, d: jax.Array) -> jax.Array:
+    """sigmoid(matchability logit) (reference lightglue.py:260-262)."""
+    return jax.nn.sigmoid(_linear(p["match"], d).astype(jnp.float32))[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+
+class LightGlueOutput(NamedTuple):
+    desc0: jax.Array    # (B, M, E) final descriptors, image 0
+    desc1: jax.Array    # (B, N, E) final descriptors, image 1
+    scores: jax.Array   # (B, M, N) log assignment matrix
+    n_layers_run: jax.Array  # (B,) or scalar: layers executed (adaptive depth)
+
+
+def _masks_from_lengths(
+    lengths0: Optional[jax.Array],
+    lengths1: Optional[jax.Array],
+    m: int,
+    n: int,
+):
+    mask0 = (
+        None
+        if lengths0 is None
+        else jnp.arange(m)[None, :] < lengths0[:, None]
+    )
+    mask1 = (
+        None
+        if lengths1 is None
+        else jnp.arange(n)[None, :] < lengths1[:, None]
+    )
+    return mask0, mask1
+
+
+def forward(
+    params,
+    kpts0: jax.Array,
+    kpts1: jax.Array,
+    desc0: jax.Array,
+    desc1: jax.Array,
+    lengths0: Optional[jax.Array] = None,
+    lengths1: Optional[jax.Array] = None,
+    *,
+    config: LightGlueConfig,
+    policy: DTypePolicy,
+) -> LightGlueOutput:
+    """Fixed-depth forward: all layers, last-layer assignment only — exactly
+    the reference's exported graph (lightglue.py:359-384).
+
+    Args:
+      params: pytree from ``runtime.weights`` (layers stacked on axis 0).
+      kpts0/kpts1: (B, M, 2) / (B, N, 2) keypoints normalized to [-1, 1].
+      desc0/desc1: (B, M, E) / (B, N, E) descriptors.
+      lengths0/lengths1: optional (B,) true keypoint counts (bucketed pads).
+    """
+    act = policy.act_dtype
+    d0 = desc0.astype(act)
+    d1 = desc1.astype(act)
+    if "input_proj" in params:  # non-superpoint features (input_dim != E)
+        d0 = _linear(params["input_proj"], d0)
+        d1 = _linear(params["input_proj"], d1)
+    freqs0 = posenc(params["posenc"], kpts0.astype(jnp.float32), config.head_dim)
+    freqs1 = posenc(params["posenc"], kpts1.astype(jnp.float32), config.head_dim)
+
+    def body(carry, layer_params):
+        c0, c1 = carry
+        c0, c1 = transformer_layer(
+            layer_params,
+            c0,
+            c1,
+            freqs0,
+            freqs1,
+            lengths0,
+            lengths1,
+            config.num_heads,
+            policy,
+        )
+        return (c0, c1), None
+
+    (d0, d1), _ = jax.lax.scan(body, (d0, d1), params["layers"])
+
+    mask0, mask1 = _masks_from_lengths(
+        lengths0, lengths1, kpts0.shape[1], kpts1.shape[1]
+    )
+    last_assign = jax.tree.map(lambda a: a[-1], params["assign"])
+    scores = match_assignment(
+        last_assign, d0, d1, mask0, mask1, config.descriptor_dim
+    )
+    return LightGlueOutput(d0, d1, scores, jnp.asarray(config.n_layers))

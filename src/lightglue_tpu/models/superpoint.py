@@ -1,0 +1,106 @@
+"""SuperPoint detector/descriptor CNN in JAX, NHWC layout.
+
+TPU-first re-design of the reference model
+(lightglue_pytorch_with_plugin/superpoint.py:90-179): VGG-style encoder
+(channels 64,64,128,128,256; three 2x2 maxpools -> stride 8), detector head
+(65-channel softmax, dustbin dropped, 8x8 pixel-shuffle to a full-resolution
+score map, iterative NMS radius 4) and descriptor head (256-d,
+L2-normalized dense map). Keypoint selection stays outside this graph, in
+``pipeline/extract.py`` — mirroring the reference where it lives in the C++
+runtime (demo/superpoint_mono_trt.cpp:153-253).
+
+NHWC is the TPU-native conv layout (channel on the 128-lane minor dim);
+the reference's NCHW is a CUDA convention with no benefit here.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lightglue_tpu.config import SuperPointConfig
+from lightglue_tpu.kernels.nms import simple_nms
+from lightglue_tpu.precision import DTypePolicy
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(p, x: jax.Array, *, same: bool = True) -> jax.Array:
+    pad = "SAME" if same else "VALID"
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=pad,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return (out + p["b"]).astype(x.dtype)
+
+
+def _relu_conv(p, x: jax.Array) -> jax.Array:
+    return jax.nn.relu(_conv(p, x))
+
+
+def _max_pool_2x2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def forward(
+    params,
+    image: jax.Array,
+    *,
+    config: SuperPointConfig = SuperPointConfig(),
+    policy: DTypePolicy,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense forward pass.
+
+    Args:
+      params: pytree from ``runtime.weights`` (HWIO conv weights).
+      image: (B, H, W, 1) grayscale in [0, 1]; H, W multiples of 8.
+
+    Returns:
+      scores: (B, H, W) NMS-suppressed detection score map (fp32).
+      descriptors: (B, H/8, W/8, 256) L2-normalized dense descriptors (fp32).
+    """
+    x = image.astype(policy.act_dtype)
+
+    # Shared encoder (reference superpoint.py:143-153).
+    x = _relu_conv(params["conv1a"], x)
+    x = _relu_conv(params["conv1b"], x)
+    x = _max_pool_2x2(x)
+    x = _relu_conv(params["conv2a"], x)
+    x = _relu_conv(params["conv2b"], x)
+    x = _max_pool_2x2(x)
+    x = _relu_conv(params["conv3a"], x)
+    x = _relu_conv(params["conv3b"], x)
+    x = _max_pool_2x2(x)
+    x = _relu_conv(params["conv4a"], x)
+    x = _relu_conv(params["conv4b"], x)
+
+    # Detector head (reference superpoint.py:156-167): 65-ch softmax, drop the
+    # dustbin, pixel-shuffle 8x8 cells back to full resolution, NMS.
+    cpa = _relu_conv(params["convPa"], x)
+    logits = _conv(params["convPb"], cpa).astype(jnp.float32)  # (B, h, w, 65)
+    probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # (B, h, w, 64)
+    b, h, w, _ = probs.shape
+    scores = probs.reshape(b, h, w, 8, 8)
+    scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
+    scores = simple_nms(scores, config.nms_radius)
+
+    # Descriptor head (reference superpoint.py:171-173).
+    cda = _relu_conv(params["convDa"], x)
+    desc = _conv(params["convDb"], cda).astype(jnp.float32)  # (B, h, w, 256)
+    desc = desc * jax.lax.rsqrt(
+        jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12
+    )
+    return scores, desc

@@ -1,0 +1,74 @@
+"""SuperPoint JAX model vs independent torch oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightglue_tpu.models import superpoint as sp
+from lightglue_tpu.precision import Precision, policy_for
+from lightglue_tpu.runtime import weights
+
+from torch_oracle import make_superpoint_state_dict, oracle_superpoint
+
+
+@pytest.fixture(scope="module")
+def model():
+    sd = make_superpoint_state_dict(seed=3)
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    params = weights.to_jax(weights.superpoint_from_state_dict(sd_np))
+    return sd, params
+
+
+def test_dense_outputs_match_oracle(rng, model):
+    sd, params = model
+    h, w = 64, 80
+    img = rng.random((1, h, w), dtype=np.float32)
+    scores, desc = sp.forward(
+        params,
+        jnp.asarray(img[..., None]),
+        policy=policy_for(Precision.FP32),
+    )
+    ref_scores, ref_desc = oracle_superpoint(sd, img[:, None, :, :])
+    assert scores.shape == (1, h, w)
+    assert desc.shape == (1, h // 8, w // 8, 256)
+    np.testing.assert_allclose(np.asarray(scores), ref_scores, atol=1e-5, rtol=1e-4)
+    # oracle descriptors are NCHW
+    np.testing.assert_allclose(
+        np.asarray(desc).transpose(0, 3, 1, 2), ref_desc, atol=1e-5, rtol=1e-4
+    )
+
+
+def test_nms_suppresses_neighbors(model):
+    """After NMS, no two surviving keypoints are within the radius."""
+    from lightglue_tpu.kernels.nms import simple_nms
+
+    rng = np.random.default_rng(5)
+    scores = jnp.asarray(rng.random((1, 48, 48), dtype=np.float32))
+    out = np.asarray(simple_nms(scores, 4))
+    ys, xs = np.nonzero(out[0])
+    pts = np.stack([ys, xs], -1)
+    for i in range(len(pts)):
+        d = np.abs(pts - pts[i]).max(axis=1)
+        close = (d <= 4) & (d > 0)
+        assert not np.any(
+            close & (out[0][ys, xs] > 0)
+        ) or True  # structure check below
+    # stronger check: chebyshev distance between any two survivors > radius
+    if len(pts) > 1:
+        from scipy.spatial.distance import cdist
+
+        cheb = cdist(pts, pts, metric="chebyshev")
+        np.fill_diagonal(cheb, np.inf)
+        assert cheb.min() > 4
+
+
+def test_bf16_forward_runs(rng, model):
+    sd, params = model
+    img = rng.random((1, 32, 32), dtype=np.float32)
+    scores, desc = sp.forward(
+        params,
+        jnp.asarray(img[..., None]),
+        policy=policy_for(Precision.BF16),
+    )
+    assert np.isfinite(np.asarray(scores)).all()
+    assert np.isfinite(np.asarray(desc)).all()
