@@ -1,0 +1,136 @@
+"""Device-side keypoint extraction with static shapes.
+
+The reference splits this between Python export-time code
+(export_onnx_with_plugin.py:113-189) and the LibTorch GPU post-process
+(demo/superpoint_mono_trt.cpp:153-253): border mask -> threshold -> top-k ->
+bilinear grid-sample of descriptors -> L2 normalize -> coordinate
+normalization. Both lean on dynamic shapes (nonzero / masked_select); here
+everything is fixed-k + validity masks so it stays inside one compiled XLA
+program with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lightglue_tpu.config import SuperPointConfig
+
+
+class Extraction(NamedTuple):
+    keypoints: jax.Array       # (B, K, 2) pixel (x, y), fp32; junk beyond count
+    keypoints_norm: jax.Array  # (B, K, 2) normalized to [-1, 1] for LightGlue
+    descriptors: jax.Array     # (B, K, 256) L2-normalized, fp32
+    scores: jax.Array          # (B, K) detection scores (descending)
+    mask: jax.Array            # (B, K) bool validity
+    count: jax.Array           # (B,) int32 number of valid keypoints
+
+
+def mask_borders(scores: jax.Array, border: int) -> jax.Array:
+    """Set a border frame to -1 (reference export_onnx_with_plugin.py:114-117,
+    demo/superpoint_mono_trt.cpp:167-180)."""
+    b, h, w = scores.shape
+    row = jnp.arange(h)[None, :, None]
+    col = jnp.arange(w)[None, None, :]
+    inside = (
+        (row >= border) & (row < h - border) & (col >= border) & (col < w - border)
+    )
+    return jnp.where(inside, scores, -1.0)
+
+
+def sample_descriptors(
+    keypoints: jax.Array, desc_map: jax.Array, s: int = 8
+) -> jax.Array:
+    """Bilinear descriptor sampling at sub-pixel keypoint locations.
+
+    Replicates torch grid_sample(align_corners=True) composed with the
+    reference's coordinate transform (superpoint.py:72-87):
+      k' = k - s/2 + 0.5;  g = k' / (dim*s - s/2 - 0.5) * 2 - 1
+      p = (g + 1) / 2 * (dim - 1)          [align_corners=True]
+    which collapses to p = (k - (s/2 - 0.5)) / (dim*s - s/2 - 0.5) * (dim - 1).
+
+    Args:
+      keypoints: (B, K, 2) pixel (x, y) in the full-resolution image.
+      desc_map: (B, h, w, C) dense descriptor map (stride-s grid).
+
+    Returns:
+      (B, K, C) L2-normalized descriptors.
+    """
+    b, h, w, c = desc_map.shape
+    off = s / 2.0 - 0.5
+    px = (keypoints[..., 0] - off) / (w * s - s / 2.0 - 0.5) * (w - 1)
+    py = (keypoints[..., 1] - off) / (h * s - s / 2.0 - 0.5) * (h - 1)
+    px = jnp.clip(px, 0.0, w - 1.0)
+    py = jnp.clip(py, 0.0, h - 1.0)
+
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
+    fx = (px - x0)[..., None]
+    fy = (py - y0)[..., None]
+
+    def gather(yy, xx):
+        flat = desc_map.reshape(b, h * w, c)
+        idx = yy * w + xx  # (B, K)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    d00 = gather(y0, x0)
+    d01 = gather(y0, x0 + 1)
+    d10 = gather(y0 + 1, x0)
+    d11 = gather(y0 + 1, x0 + 1)
+    desc = (
+        d00 * (1 - fy) * (1 - fx)
+        + d01 * (1 - fy) * fx
+        + d10 * fy * (1 - fx)
+        + d11 * fy * fx
+    )
+    return desc * jax.lax.rsqrt(jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12)
+
+
+def normalize_keypoints(
+    keypoints: jax.Array, height: int, width: int
+) -> jax.Array:
+    """(x, y) pixels -> [-1, 1] by max(h, w)/2 around the image center
+    (reference export_onnx_with_plugin.py:14-23)."""
+    size = jnp.asarray([width, height], dtype=jnp.float32)
+    shift = size / 2.0
+    scale = jnp.max(size) / 2.0
+    return (keypoints - shift) / scale
+
+
+def extract_keypoints(
+    scores: jax.Array,
+    desc_map: jax.Array,
+    *,
+    config: SuperPointConfig = SuperPointConfig(),
+    k: int | None = None,
+) -> Extraction:
+    """Select top-k keypoints from a dense NMS'd score map, device-side.
+
+    Args:
+      scores: (B, H, W) from ``models.superpoint.forward``.
+      desc_map: (B, H/8, W/8, C) dense descriptors from the same forward.
+      k: fixed keypoint capacity (defaults to config.max_num_keypoints).
+    """
+    k = k or config.max_num_keypoints
+    b, h, w = scores.shape
+    masked = mask_borders(scores.astype(jnp.float32), config.remove_borders)
+
+    flat = masked.reshape(b, h * w)
+    top_scores, top_idx = jax.lax.top_k(flat, k)  # descending
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)  # (x, y) column-first, like the
+    # reference's .flip(1) on nonzero output (export_onnx_with_plugin.py:120)
+
+    valid = top_scores > config.detection_threshold
+    count = jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+    desc = sample_descriptors(kpts, desc_map, config.stride)
+    kpts_norm = normalize_keypoints(kpts, h, w)
+
+    # Keep padded slots harmless: zero descriptors, clamp coords to center.
+    desc = jnp.where(valid[..., None], desc, 0.0)
+    kpts_norm = jnp.where(valid[..., None], kpts_norm, 0.0)
+    return Extraction(kpts, kpts_norm, desc, top_scores, valid, count)
