@@ -1,0 +1,187 @@
+"""Single-host inference session: bucketed compile cache + end-to-end match.
+
+The TPU analog of the reference's L3/L4 machinery (SURVEY.md §1): where the
+reference exports ONNX, builds TRT engines per precision, records a CUDA
+graph at the 1024-kpt max shape and replays it after SetInputShape
+(demo/demo_mono.cpp:85-140, demo/lightglue_trt.cpp:347-370), this session
+jit-compiles one XLA executable per (keypoint-bucket0, keypoint-bucket1)
+combination and dispatches each pair to the smallest bucket that fits —
+executable replay *is* graph replay, with correct shapes instead of
+replaying an oversized graph and relying on pad masking.
+
+Everything between image tensor in and match table out runs device-side;
+the only host round-trip is reading the keypoint counts to pick a bucket
+(the analog of the reference's SetInputShape with actual counts,
+demo/demo_mono.cpp:255-266).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightglue_tpu.config import PipelineConfig
+from lightglue_tpu.models import lightglue, superpoint
+from lightglue_tpu.pipeline.extract import Extraction, extract_keypoints
+from lightglue_tpu.pipeline.match import Matches, filter_matches
+from lightglue_tpu.precision import policy_for
+from lightglue_tpu.runtime import weights as weights_lib
+
+
+class MatcherSession:
+    """Holds device-resident weights and per-shape compiled executables."""
+
+    def __init__(
+        self,
+        sp_params=None,
+        lg_params=None,
+        config: PipelineConfig = PipelineConfig(),
+        seed: int = 0,
+    ):
+        self.config = config
+        self.policy = policy_for(config.precision)
+        sp_params = (
+            weights_lib.init_superpoint(seed, config.superpoint)
+            if sp_params is None
+            else sp_params
+        )
+        lg_params = (
+            weights_lib.init_lightglue(seed, config.lightglue)
+            if lg_params is None
+            else lg_params
+        )
+        # SuperPoint runs in the activation dtype but keeps fp32 master
+        # weights (cast at trace time); LightGlue weights are cast once.
+        self.sp_params = weights_lib.to_jax(sp_params)
+        self.lg_params = weights_lib.to_jax(lg_params, self.policy.param_dtype)
+        self._extract_cache: Dict[Tuple[int, int, int], jax.stages.Wrapped] = {}
+        self._match_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+
+    # -- extraction ---------------------------------------------------------
+
+    def _extract_fn(self, batch: int, h: int, w: int):
+        key = (batch, h, w)
+        if key not in self._extract_cache:
+            config, policy = self.config, self.policy
+
+            @jax.jit
+            def run(sp_params, images):
+                scores, desc = superpoint.forward(
+                    sp_params, images, config=config.superpoint, policy=policy
+                )
+                return extract_keypoints(scores, desc, config=config.superpoint)
+
+            self._extract_cache[key] = run
+        return self._extract_cache[key]
+
+    def extract(self, images: np.ndarray) -> Extraction:
+        """images: (B, H, W, 1) float32 in [0,1], H/W multiples of 8."""
+        b, h, w, _ = images.shape
+        return self._extract_fn(b, h, w)(self.sp_params, jnp.asarray(images))
+
+    # -- matching -----------------------------------------------------------
+
+    def _match_fn(self, bucket0: int, bucket1: int):
+        key = (bucket0, bucket1)
+        if key not in self._match_cache:
+            config, policy = self.config, self.policy
+            k = min(config.max_matches, bucket0)
+
+            @jax.jit
+            def run(lg_params, kpts0, kpts1, desc0, desc1, lengths0, lengths1):
+                out = lightglue.forward(
+                    lg_params,
+                    kpts0,
+                    kpts1,
+                    desc0,
+                    desc1,
+                    lengths0,
+                    lengths1,
+                    config=config.lightglue,
+                    policy=policy,
+                )
+                matches = filter_matches(
+                    out.scores,
+                    threshold=config.match_threshold,
+                    max_matches=k,
+                )
+                return out, matches
+
+            self._match_cache[key] = run
+        return self._match_cache[key]
+
+    def match_from_extractions(
+        self, ext0: Extraction, ext1: Extraction
+    ) -> Tuple[lightglue.LightGlueOutput, Matches]:
+        """Bucket, pad-slice and run LightGlue on already-extracted features.
+
+        Extraction outputs are score-descending, so truncating to the bucket
+        keeps the strongest keypoints — the same policy as the reference's
+        top-k 1024 cap (export_onnx_with_plugin.py:121-123).
+        """
+        n0 = int(jnp.max(ext0.count))
+        n1 = int(jnp.max(ext1.count))
+        b0 = self.config.bucket_for(max(n0, 1))
+        b1 = self.config.bucket_for(max(n1, 1))
+        lengths0 = jnp.minimum(ext0.count, b0)
+        lengths1 = jnp.minimum(ext1.count, b1)
+        fn = self._match_fn(b0, b1)
+        return fn(
+            self.lg_params,
+            ext0.keypoints_norm[:, :b0],
+            ext1.keypoints_norm[:, :b1],
+            ext0.descriptors[:, :b0],
+            ext1.descriptors[:, :b1],
+            lengths0,
+            lengths1,
+        )
+
+    # -- end-to-end ---------------------------------------------------------
+
+    def match_pair(self, image0: np.ndarray, image1: np.ndarray) -> Dict:
+        """Full pipeline on one image pair; returns host-side numpy results.
+
+        image0/image1: (H, W, 1) float32 grayscale in [0, 1].
+        """
+        ext0 = self.extract(image0[None])
+        ext1 = self.extract(image1[None])
+        out, matches = self.match_from_extractions(ext0, ext1)
+        count = int(matches.count[0])
+        idx = np.asarray(matches.indices[0, :count])
+        kpts0 = np.asarray(ext0.keypoints[0])
+        kpts1 = np.asarray(ext1.keypoints[0])
+        return {
+            "keypoints0": kpts0,
+            "keypoints1": kpts1,
+            "num_keypoints0": int(ext0.count[0]),
+            "num_keypoints1": int(ext1.count[0]),
+            "matches": idx,
+            "match_scores": np.asarray(matches.scores[0, :count]),
+            "matched_kpts0": kpts0[idx[:, 0]] if count else np.zeros((0, 2)),
+            "matched_kpts1": kpts1[idx[:, 1]] if count else np.zeros((0, 2)),
+            "scores": np.asarray(out.scores[0]),
+        }
+
+    # -- warmup (the analog of engine build + CUDA-graph record) ------------
+
+    def warmup(self, image_hw: Tuple[int, int], batch: int = 1) -> None:
+        h, w = image_hw
+        dummy = np.zeros((batch, h, w, 1), np.float32)
+        self.extract(dummy)
+        k = self.config.superpoint.max_num_keypoints
+        for b0 in self.config.buckets:
+            for b1 in self.config.buckets:
+                fn = self._match_fn(b0, b1)
+                fn(
+                    self.lg_params,
+                    jnp.zeros((batch, b0, 2), jnp.float32),
+                    jnp.zeros((batch, b1, 2), jnp.float32),
+                    jnp.zeros((batch, b0, 256), jnp.float32),
+                    jnp.zeros((batch, b1, 256), jnp.float32),
+                    jnp.full((batch,), b0, jnp.int32),
+                    jnp.full((batch,), b1, jnp.int32),
+                )
