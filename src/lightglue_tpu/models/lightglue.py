@@ -57,13 +57,31 @@ _NEG_INF = -1e30
 
 
 def _linear(p, x):
-    return x @ p["w"] + p["b"]
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
 
 
-def _layer_norm(g, b, x, eps: float = 1e-5):
+def _linear_rowshard(p, x, tp_axis):
+    """Row-sharded linear: x holds the local feature slice, w the matching
+    row slice; partial products are summed over the tensor-parallel axis."""
+    partial = x @ p["w"].astype(x.dtype)
+    if tp_axis is not None:
+        partial = jax.lax.psum(partial, tp_axis)
+    return partial + p["b"].astype(x.dtype)
+
+
+def _layer_norm(g, b, x, eps: float = 1e-5, tp_axis=None, global_dim=None):
+    """LayerNorm over the full feature dim. Under tensor parallelism x is a
+    feature slice; the mean/var reduce via psum so no all-gather is needed."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    if tp_axis is None:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    else:
+        n = global_dim
+        s = jax.lax.psum(jnp.sum(xf, axis=-1, keepdims=True), tp_axis)
+        ss = jax.lax.psum(jnp.sum(jnp.square(xf), axis=-1, keepdims=True), tp_axis)
+        mean = s / n
+        var = ss / n - jnp.square(mean)
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
     return (normed * g + b).astype(x.dtype)
 
@@ -130,13 +148,20 @@ def _attend(
     return out.astype(q.dtype)
 
 
-def _ffn(p, x: jax.Array, message: jax.Array) -> jax.Array:
-    """Residual FFN over cat(x, message) (reference lightglue.py:130-135,152)."""
+def _ffn(p, x: jax.Array, message: jax.Array, tp_axis=None, ffn_dim=None) -> jax.Array:
+    """Residual FFN over cat(x, message) (reference lightglue.py:130-135,152).
+
+    Under tensor parallelism ffn1 is column-sharded and ffn2 row-sharded;
+    the LayerNorm between them reduces its statistics with a psum, so the
+    whole FFN costs a single activation all-reduce (the ffn2 output).
+    """
     h = jnp.concatenate([x, message], axis=-1)
     h = _linear(p["ffn1"], h)
-    h = _layer_norm(p["ln_g"], p["ln_b"], h)
+    h = _layer_norm(
+        p["ln_g"], p["ln_b"], h, tp_axis=tp_axis, global_dim=ffn_dim
+    )
     h = jax.nn.gelu(h, approximate=False)
-    h = _linear(p["ffn2"], h)
+    h = _linear_rowshard(p["ffn2"], h, tp_axis)
     return x + h
 
 
@@ -147,19 +172,30 @@ def self_block(
     lengths: Optional[jax.Array],
     num_heads: int,
     policy: DTypePolicy,
+    tp_axis=None,
+    ffn_dim=None,
 ) -> jax.Array:
-    """Self-attention block (reference lightglue.py:118-152)."""
-    qkv = _linear(p["qkv"], x)  # (B, N, 3*E), columns [q | k | v]
-    e = x.shape[-1]
-    q = _split_heads(qkv[..., :e], num_heads)
-    k = _split_heads(qkv[..., e : 2 * e], num_heads)
-    v = _split_heads(qkv[..., 2 * e :], num_heads)
+    """Self-attention block (reference lightglue.py:118-152).
+
+    ``num_heads`` is the *local* head count under tensor parallelism (the
+    'model' axis shards whole heads; qkv columns are head-major so the
+    sharded weight slice is exactly the local heads' projection).
+    """
+    # qkv weight is (3, E, E) component-major with head-major output columns,
+    # so a 'model'-axis sharding of the last dim is whole-head aligned.
+    qkv = (
+        jnp.einsum("bni,cio->cbno", x, p["qkv"]["w"].astype(x.dtype))
+        + p["qkv"]["b"].astype(x.dtype)[:, None, None, :]
+    )
+    q = _split_heads(qkv[0], num_heads)
+    k = _split_heads(qkv[1], num_heads)
+    v = _split_heads(qkv[2], num_heads)
     q = apply_rotary(freqs, q)
     k = apply_rotary(freqs, k)
     lens2 = None if lengths is None else jnp.stack([lengths, lengths], axis=-1)
     context = _attend(q, k, v, lens2, policy)
-    message = _linear(p["out"], _merge_heads(context))
-    return _ffn(p, x, message)
+    message = _linear_rowshard(p["out"], _merge_heads(context), tp_axis)
+    return _ffn(p, x, message, tp_axis, ffn_dim)
 
 
 def cross_block(
@@ -170,6 +206,8 @@ def cross_block(
     lengths1: Optional[jax.Array],
     num_heads: int,
     policy: DTypePolicy,
+    tp_axis=None,
+    ffn_dim=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Bidirectional symmetric cross-attention (reference lightglue.py:168-205).
 
@@ -186,9 +224,9 @@ def cross_block(
         l10 = jnp.stack([lengths1, lengths0], axis=-1)
     m0 = _attend(qk0, qk1, v1, l01, policy)
     m1 = _attend(qk1, qk0, v0, l10, policy)
-    m0 = _linear(p["out"], _merge_heads(m0))
-    m1 = _linear(p["out"], _merge_heads(m1))
-    return _ffn(p, x0, m0), _ffn(p, x1, m1)
+    m0 = _linear_rowshard(p["out"], _merge_heads(m0), tp_axis)
+    m1 = _linear_rowshard(p["out"], _merge_heads(m1), tp_axis)
+    return _ffn(p, x0, m0, tp_axis, ffn_dim), _ffn(p, x1, m1, tp_axis, ffn_dim)
 
 
 def transformer_layer(
@@ -201,11 +239,20 @@ def transformer_layer(
     lengths1: Optional[jax.Array],
     num_heads: int,
     policy: DTypePolicy,
+    tp_axis=None,
+    ffn_dim=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """self(d0) -> self(d1) -> cross (reference lightglue.py:208-226)."""
-    d0 = self_block(p["self_attn"], d0, freqs0, lengths0, num_heads, policy)
-    d1 = self_block(p["self_attn"], d1, freqs1, lengths1, num_heads, policy)
-    return cross_block(p["cross_attn"], d0, d1, lengths0, lengths1, num_heads, policy)
+    d0 = self_block(
+        p["self_attn"], d0, freqs0, lengths0, num_heads, policy, tp_axis, ffn_dim
+    )
+    d1 = self_block(
+        p["self_attn"], d1, freqs1, lengths1, num_heads, policy, tp_axis, ffn_dim
+    )
+    return cross_block(
+        p["cross_attn"], d0, d1, lengths0, lengths1, num_heads, policy,
+        tp_axis, ffn_dim,
+    )
 
 
 def match_assignment(
@@ -303,16 +350,23 @@ def forward(
     *,
     config: LightGlueConfig,
     policy: DTypePolicy,
+    tp_axis: Optional[str] = None,
 ) -> LightGlueOutput:
     """Fixed-depth forward: all layers, last-layer assignment only — exactly
     the reference's exported graph (lightglue.py:359-384).
 
     Args:
       params: pytree from ``runtime.weights`` (layers stacked on axis 0).
+        Under ``tp_axis`` (inside shard_map) the attention/FFN weights are
+        the local 'model'-axis slices; heads are inferred from their shapes.
       kpts0/kpts1: (B, M, 2) / (B, N, 2) keypoints normalized to [-1, 1].
       desc0/desc1: (B, M, E) / (B, N, E) descriptors.
       lengths0/lengths1: optional (B,) true keypoint counts (bucketed pads).
+      tp_axis: shard_map mesh axis name for tensor parallelism, or None.
     """
+    # local head count: the 'model' axis shards whole heads
+    num_heads = params["layers"]["self_attn"]["qkv"]["w"].shape[-1] // config.head_dim
+    ffn_dim = 2 * config.descriptor_dim
     act = policy.act_dtype
     d0 = desc0.astype(act)
     d1 = desc1.astype(act)
@@ -332,8 +386,10 @@ def forward(
             freqs1,
             lengths0,
             lengths1,
-            config.num_heads,
+            num_heads,
             policy,
+            tp_axis,
+            ffn_dim,
         )
         return (c0, c1), None
 

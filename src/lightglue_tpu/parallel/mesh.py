@@ -1,0 +1,228 @@
+"""Device-mesh parallelism: data-parallel pairs x tensor-parallel heads.
+
+The reference is strictly single-GPU (SURVEY.md §2.5: no NCCL/MPI anywhere;
+batch hardcoded to 1). This layer is the from-scratch distribution design
+mandated by BASELINE.json: image pairs sharded over a ``data`` mesh axis,
+LightGlue's 4 attention heads and FFN columns optionally sharded over a
+``model`` axis, with XLA collectives riding ICI.
+
+Axis roles for this workload (and why the classic LLM axes do not appear):
+- ``data``  — image pairs. The throughput axis; scales to pod slices. Across
+  hosts each process feeds its local shard
+  (``jax.make_array_from_process_local_data``).
+- ``model`` — tensor parallelism over heads (whole-head aligned: qkv weight
+  columns are head-major) and FFN columns; one psum per projection, LN
+  statistics reduced in-place (models/lightglue.py). Latency axis for a
+  single pair.
+- pipeline parallelism: deliberately absent — 9 tiny layers (13 MB of
+  weights total) fit in any chip's VMEM-adjacent HBM; a pipeline would add
+  bubble latency for zero memory relief.
+- expert parallelism: no MoE in the architecture.
+- sequence parallelism: max 1024 keypoints fits one chip by orders of
+  magnitude (SURVEY.md §5 long-context note); ring attention is unnecessary.
+
+The sharded step uses ``shard_map`` (not auto-sharding) so the Pallas
+attention kernel runs per-device on its local heads with explicit psums —
+the blessed pattern for custom kernels under SPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lightglue_tpu.config import PipelineConfig
+from lightglue_tpu.models import lightglue, superpoint
+from lightglue_tpu.pipeline.extract import extract_keypoints
+from lightglue_tpu.pipeline.match import Matches, filter_matches
+from lightglue_tpu.precision import policy_for
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (AXIS_DATA, AXIS_MODEL))
+
+
+# ---------------------------------------------------------------------------
+# parameter sharding
+# ---------------------------------------------------------------------------
+
+
+def lightglue_param_specs(params) -> dict:
+    """PartitionSpecs for the LightGlue pytree.
+
+    Head-aligned 'model' sharding (leading axis of every layer leaf is the
+    stacked-layer axis):
+      qkv w (L,3,E,E)      -> columns (heads)        P(None,None,None,model)
+      qkv b (L,3,E)        -> columns                P(None,None,model)
+      out w (L,E,E)        -> rows (head-major ctx)  P(None,model,None)
+      ffn1 w (L,2E,2E)     -> columns                P(None,None,model)
+      ffn1 b / ln_g / ln_b -> columns                P(None,model)
+      ffn2 w (L,2E,E)      -> rows                   P(None,model,None)
+      everything else      -> replicated
+    """
+
+    def attn_specs(is_self: bool):
+        base = {
+            "out": {"w": P(None, AXIS_MODEL, None), "b": P(None)},
+            "ffn1": {"w": P(None, None, AXIS_MODEL), "b": P(None, AXIS_MODEL)},
+            "ln_g": P(None, AXIS_MODEL),
+            "ln_b": P(None, AXIS_MODEL),
+            "ffn2": {"w": P(None, AXIS_MODEL, None), "b": P(None)},
+        }
+        if is_self:
+            base["qkv"] = {
+                "w": P(None, None, None, AXIS_MODEL),
+                "b": P(None, None, AXIS_MODEL),
+            }
+        else:
+            base["qk"] = {"w": P(None, None, AXIS_MODEL), "b": P(None, AXIS_MODEL)}
+            base["v"] = {"w": P(None, None, AXIS_MODEL), "b": P(None, AXIS_MODEL)}
+        return base
+
+    specs = {
+        "posenc": {"wr": P()},
+        "layers": {
+            "self_attn": attn_specs(True),
+            "cross_attn": attn_specs(False),
+        },
+        "assign": {
+            "proj": {"w": P(), "b": P()},
+            "match": {"w": P(), "b": P()},
+        },
+    }
+    if "token" in params:
+        specs["token"] = {"w": P(), "b": P()}
+    if "input_proj" in params:
+        specs["input_proj"] = {"w": P(), "b": P()}
+    return specs
+
+
+def shard_lightglue_params(params, mesh: Mesh):
+    """Place LightGlue params on the mesh with head-aligned model sharding."""
+    specs = lightglue_param_specs(params)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded steps
+# ---------------------------------------------------------------------------
+
+
+def make_parallel_match_fn(
+    mesh: Mesh,
+    config: PipelineConfig,
+    bucket0: int,
+    bucket1: int,
+):
+    """Jitted shard_map step: batched LightGlue matching over (data, model).
+
+    Input batch B must be divisible by the data-axis size. Params must carry
+    the shardings from ``shard_lightglue_params``; inside the shard_map body
+    every device sees its local heads and the Pallas kernel runs locally.
+    """
+    policy = policy_for(config.precision)
+    tp = mesh.shape[AXIS_MODEL]
+    tp_axis = AXIS_MODEL if tp > 1 else None
+    k = min(config.max_matches, bucket0)
+    param_specs = None  # resolved lazily against the actual pytree
+
+    def step(lg_params, kpts0, kpts1, desc0, desc1, lengths0, lengths1):
+        out = lightglue.forward(
+            lg_params,
+            kpts0,
+            kpts1,
+            desc0,
+            desc1,
+            lengths0,
+            lengths1,
+            config=config.lightglue,
+            policy=policy,
+            tp_axis=tp_axis,
+        )
+        matches = filter_matches(
+            out.scores, threshold=config.match_threshold, max_matches=k
+        )
+        return out, matches
+
+    def build(lg_params):
+        specs = lightglue_param_specs(lg_params)
+        data_in = (
+            P(AXIS_DATA, None, None),  # kpts0
+            P(AXIS_DATA, None, None),  # kpts1
+            P(AXIS_DATA, None, None),  # desc0
+            P(AXIS_DATA, None, None),  # desc1
+            P(AXIS_DATA),              # lengths0
+            P(AXIS_DATA),              # lengths1
+        )
+        out_specs = (
+            lightglue.LightGlueOutput(
+                P(AXIS_DATA, None, None),
+                P(AXIS_DATA, None, None),
+                P(AXIS_DATA, None, None),
+                P(),
+            ),
+            Matches(
+                P(AXIS_DATA, None, None),
+                P(AXIS_DATA, None),
+                P(AXIS_DATA, None),
+                P(AXIS_DATA),
+            ),
+        )
+        sharded = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(specs, *data_in),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    compiled = {}
+
+    def call(lg_params, *args):
+        key = "fn"
+        if key not in compiled:
+            compiled[key] = build(lg_params)
+        return compiled[key](lg_params, *args)
+
+    return call
+
+
+def make_parallel_extract_fn(mesh: Mesh, config: PipelineConfig):
+    """Jitted data-parallel SuperPoint + extraction over the mesh.
+
+    Convolutions shard cleanly on the batch axis, so plain jit with
+    NamedSharding input constraints is enough — no shard_map needed.
+    """
+    policy = policy_for(config.precision)
+    image_sharding = NamedSharding(mesh, P(AXIS_DATA, None, None, None))
+
+    @functools.partial(jax.jit, in_shardings=(None, image_sharding))
+    def run(sp_params, images):
+        scores, desc = superpoint.forward(
+            sp_params, images, config=config.superpoint, policy=policy
+        )
+        return extract_keypoints(scores, desc, config=config.superpoint)
+
+    return run

@@ -76,10 +76,17 @@ def init_lightglue(
     e = config.descriptor_dim
     hd = config.head_dim
 
+    def qkv_init():
+        parts = [_linear_init(rng, e, e) for _ in range(3)]
+        return {
+            "w": np.stack([p["w"] for p in parts]),  # (3, E, E)
+            "b": np.stack([p["b"] for p in parts]),  # (3, E)
+        }
+
     def layer_params():
         return {
             "self_attn": {
-                "qkv": _linear_init(rng, e, 3 * e),
+                "qkv": qkv_init(),
                 "out": _linear_init(rng, e, e),
                 "ffn1": _linear_init(rng, 2 * e, 2 * e),
                 "ln_g": np.ones(2 * e, np.float32),
@@ -129,7 +136,8 @@ def _b(sd: Mapping[str, Array], key: str) -> Array:
 
 
 def _repack_qkv(w_torch: Array, b_torch: Array, heads: int, head_dim: int):
-    """torch Wqkv (3E, E) with (h, d, 3)-interleaved rows -> ([q|k|v], in-major).
+    """torch Wqkv (3E, E) with (h, d, 3)-interleaved rows -> (3, E, E)
+    component-major, head-major output columns.
 
     Row o of the torch weight corresponds to head h = o // (head_dim*3),
     d = (o % (head_dim*3)) // 3, component c = o % 3 — from
@@ -138,9 +146,9 @@ def _repack_qkv(w_torch: Array, b_torch: Array, heads: int, head_dim: int):
     e = heads * head_dim
     wt = w_torch.T.astype(np.float32)  # (in=E, out=3E)
     wt = wt.reshape(e, heads, head_dim, 3)
-    w = np.concatenate([wt[..., c].reshape(e, e) for c in range(3)], axis=-1)
+    w = np.stack([wt[..., c].reshape(e, e) for c in range(3)])  # (3, E, E)
     bt = b_torch.astype(np.float32).reshape(heads, head_dim, 3)
-    b = np.concatenate([bt[..., c].reshape(e) for c in range(3)], axis=-1)
+    b = np.stack([bt[..., c].reshape(e) for c in range(3)])  # (3, E)
     return {"w": np.ascontiguousarray(w), "b": b}
 
 
