@@ -1,0 +1,150 @@
+"""Benchmark harness — the trtexec analog (SURVEY.md §4.3, §6).
+
+Headline metric: LightGlue full match step (9 layers + assignment + match
+filter) at the reference's profile shape, batch 1 x 1024 x 1024 keypoints,
+bf16 — against the TRT fp16-with-plugin engine's 41.08 ms mean latency on
+Jetson Orin (BASELINE.md). Prints ONE JSON line; extra metrics are nested
+under "extra".
+
+Methodology: per-call host timing through the remote TPU relay is unreliable
+(async dispatch hides device time), so each measurement runs ITERS iterations
+*inside one jitted program* via lax.scan with a real data dependency between
+iterations (carry feeds back a scalar at 1e-30 scale: exact in bf16/fp32
+rounding yet unhoistable), then fetches the result to host. Wall time / ITERS
+is the per-step latency, dispatch overhead amortized — the same accounting
+trtexec's --useCudaGraph mode gives the reference.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+SRC = Path(__file__).resolve().parent / "src"
+if str(SRC) not in sys.path:
+    sys.path.insert(0, str(SRC))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightglue_tpu.config import PipelineConfig
+from lightglue_tpu.models import lightglue, superpoint
+from lightglue_tpu.pipeline.extract import extract_keypoints
+from lightglue_tpu.pipeline.match import filter_matches
+from lightglue_tpu.precision import Precision, policy_for
+from lightglue_tpu.runtime import weights
+
+BASELINE_LG_FP16_MS = 41.08  # trt_engine_files/...with_plugin.fp16...txt:30443
+BASELINE_SP_FP32_MS = 26.50  # trt_engine_files/superpoint...fp32...txt:5771
+ITERS = 20
+REPEATS = 3
+
+
+def _timed(fn, *args):
+    """Run fn (already containing an ITERS-long in-jit loop) and return the
+    best per-iteration milliseconds over REPEATS."""
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # warmup + force completion
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best * 1e3
+
+
+def bench_lightglue(precision: Precision, n: int = 1024, batch: int = 1):
+    config = PipelineConfig(precision=precision)
+    policy = policy_for(config.precision)
+    params = weights.to_jax(
+        weights.init_lightglue(0, config.lightglue), policy.param_dtype
+    )
+    rng = np.random.default_rng(0)
+    kpts0 = jnp.asarray(rng.uniform(-1, 1, (batch, n, 2)).astype(np.float32))
+    kpts1 = jnp.asarray(rng.uniform(-1, 1, (batch, n, 2)).astype(np.float32))
+    desc0 = jnp.asarray(
+        rng.standard_normal((batch, n, 256), dtype=np.float32), policy.act_dtype
+    )
+    desc1 = jnp.asarray(
+        rng.standard_normal((batch, n, 256), dtype=np.float32), policy.act_dtype
+    )
+    lens = jnp.full((batch,), n, jnp.int32)
+
+    @jax.jit
+    def run(params, kpts0, kpts1, desc0, desc1):
+        def body(carry, _):
+            d0 = desc0 + carry.astype(desc0.dtype) * 1e-30
+            out = lightglue.forward(
+                params, kpts0, kpts1, d0, desc1, lens, lens,
+                config=config.lightglue, policy=policy,
+            )
+            m = filter_matches(
+                out.scores, config.match_threshold, config.max_matches
+            )
+            return out.scores[0, 0, 0], m.count
+        return jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+
+    return _timed(run, params, kpts0, kpts1, desc0, desc1)
+
+
+def bench_superpoint(precision: Precision, h: int = 480, w: int = 640):
+    config = PipelineConfig(precision=precision)
+    policy = policy_for(config.precision)
+    params = weights.to_jax(weights.init_superpoint(0, config.superpoint))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+
+    @jax.jit
+    def run(params, image):
+        def body(carry, _):
+            img = image + carry * 1e-30
+            scores, desc = superpoint.forward(
+                params, img, config=config.superpoint, policy=policy
+            )
+            ext = extract_keypoints(scores, desc, config=config.superpoint)
+            return scores[0, 0, 0], ext.count
+        return jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+
+    return _timed(run, params, image)
+
+
+def main():
+    backend = jax.default_backend()
+    lg_bf16 = bench_lightglue(Precision.BF16)
+    extra = {
+        "backend": backend,
+        "lightglue_bf16_1x1024_ms": round(lg_bf16, 3),
+    }
+    try:
+        extra["lightglue_mixed_1x1024_ms"] = round(
+            bench_lightglue(Precision.MIXED), 3
+        )
+        extra["lightglue_fp32_1x1024_ms"] = round(
+            bench_lightglue(Precision.FP32), 3
+        )
+        sp = bench_superpoint(Precision.BF16)
+        extra["superpoint_bf16_480x640_extract_ms"] = round(sp, 3)
+        extra["superpoint_vs_baseline"] = round(BASELINE_SP_FP32_MS / sp, 2)
+        extra["lightglue_bf16_batch8_per_pair_ms"] = round(
+            bench_lightglue(Precision.BF16, batch=8) / 8, 3
+        )
+    except Exception as e:  # secondary metrics must not kill the headline
+        extra["secondary_error"] = repr(e)[:200]
+
+    print(
+        json.dumps(
+            {
+                "metric": "LightGlue 1x1024x1024 bf16 full match step p50 latency",
+                "value": round(lg_bf16, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_LG_FP16_MS / lg_bf16, 2),
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,9 +72,19 @@ def _attn_kernel(
 
     q = q_ref[0, 0, :, :]
 
-    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=stat_dtype)
-    l0 = jnp.zeros((block_q, 1), dtype=stat_dtype)
-    acc0 = jnp.zeros((block_q, head_dim), dtype=stat_dtype)
+    # VPU math runs in fp32 (the MXU always accumulates fp32 and the VPU
+    # lacks 16-bit compare/transcendental paths); the 16-bit stat policy is
+    # expressed by re-quantizing the running statistics to ``stat_dtype``
+    # after every update — the same storage precision as the CUDA
+    # fp16in/fp16out variant's fp16 row_max/row_sum/l (...fp16out.cu:556-644).
+    low_precision_stats = stat_dtype != jnp.float32
+
+    def _quant(x):
+        return x.astype(stat_dtype).astype(jnp.float32) if low_precision_stats else x
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
 
     if masked:
         kv_len = lens_ref[b, 1]
@@ -89,20 +99,20 @@ def _attn_kernel(
             q,
             k_tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=stat_dtype,
+            preferred_element_type=jnp.float32,
         )
-        s = s * jnp.asarray(scale, dtype=stat_dtype)
+        s = _quant(s * scale)
 
         if masked:
             col = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(col < kv_len, s, jnp.asarray(_NEG_INF, stat_dtype))
+            s = jnp.where(col < kv_len, s, _NEG_INF)
 
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m_prev - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        m_new = _quant(jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True)))
+        p = _quant(jnp.exp(s - m_new))
+        correction = _quant(jnp.exp(m_prev - m_new))
+        l_new = _quant(l_prev * correction + jnp.sum(p, axis=-1, keepdims=True))
 
         # P V on the MXU; P is cast to the KV operand dtype like the CUDA
         # kernel's P fp32->fp16 requantization before the PV MMA
@@ -111,16 +121,16 @@ def _attn_kernel(
             p.astype(v_tile.dtype),
             v_tile,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=stat_dtype,
+            preferred_element_type=jnp.float32,
         )
-        acc_new = acc * correction + pv
+        acc_new = _quant(acc * correction + pv)
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
 
     # Epilogue: O /= l; fully-masked (padded) rows have l == 0 and must emit
     # zeros (reference ...fp16out.cu:695-701 forces pad rows to 0).
-    l_safe = jnp.where(l == 0.0, jnp.asarray(1.0, stat_dtype), l)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
     out = acc / l_safe
     if masked:
         q_len = lens_ref[b, 0]
