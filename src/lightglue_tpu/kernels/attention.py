@@ -88,6 +88,21 @@ def _attn_kernel(
 
     if masked:
         kv_len = lens_ref[b, 1]
+        q_len = lens_ref[b, 0]
+        # Real FLOP savings from masking, not just correctness: fully-masked
+        # KV tail tiles are skipped via a dynamic trip count, and Q stripes
+        # entirely beyond q_len skip the loop altogether. This is what makes
+        # bucketed padding and device-side keypoint pruning cheap — the CUDA
+        # reference instead always runs the full padded extent
+        # (lightglue_attention_plugin.cpp:196-221).
+        num_kv = jnp.minimum(
+            jnp.asarray(num_kv_blocks, jnp.int32),
+            (kv_len + block_k - 1) // block_k,
+        )
+        stripe_active = iq * block_q < q_len
+    else:
+        num_kv = num_kv_blocks
+        stripe_active = True
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
@@ -126,19 +141,29 @@ def _attn_kernel(
         acc_new = _quant(acc * correction + pv)
         return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-
-    # Epilogue: O /= l; fully-masked (padded) rows have l == 0 and must emit
-    # zeros (reference ...fp16out.cu:695-701 forces pad rows to 0).
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    out = acc / l_safe
-    if masked:
-        q_len = lens_ref[b, 0]
-        row = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, head_dim), 0
+    @pl.when(stripe_active)
+    def _():
+        m, l, acc = jax.lax.fori_loop(
+            0, num_kv, body, (m0, l0, acc0), unroll=not masked
         )
-        out = jnp.where(row < q_len, out, jnp.zeros_like(out))
-    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+        # Epilogue: O /= l; fully-masked (padded) rows have l == 0 and must
+        # emit zeros (reference ...fp16out.cu:695-701 forces pad rows to 0).
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out = acc / l_safe
+        if masked:
+            row = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, head_dim), 0
+            )
+            out = jnp.where(row < q_len, out, jnp.zeros_like(out))
+        o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+    if masked:
+
+        @pl.when(jnp.logical_not(stripe_active))
+        def _():
+            o_ref[0, 0, :, :] = jnp.zeros(
+                (block_q, head_dim), dtype=o_ref.dtype
+            )
 
 
 @functools.partial(
