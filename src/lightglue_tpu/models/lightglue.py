@@ -255,6 +255,18 @@ def transformer_layer(
     )
 
 
+def _linear_maybe_batched(p, x):
+    """Linear whose weights may carry a leading per-batch axis (used when
+    each pair exits at its own adaptive depth and thus uses its own
+    assignment head)."""
+    w, bias = p["w"], p["b"]
+    if w.ndim == x.ndim:  # (B, in, out) @ (B, N, in)
+        return jnp.einsum("bni,bio->bno", x, w.astype(x.dtype)) + bias.astype(
+            x.dtype
+        )[:, None, :]
+    return _linear(p, x)
+
+
 def match_assignment(
     p,
     d0: jax.Array,
@@ -274,11 +286,11 @@ def match_assignment(
     ships exact shapes).
     """
     scale = float(dim) ** 0.25
-    md0 = (_linear(p["proj"], d0) / scale).astype(jnp.float32)
-    md1 = (_linear(p["proj"], d1) / scale).astype(jnp.float32)
+    md0 = (_linear_maybe_batched(p["proj"], d0) / scale).astype(jnp.float32)
+    md1 = (_linear_maybe_batched(p["proj"], d1) / scale).astype(jnp.float32)
     sim = jnp.einsum("bmd,bnd->bmn", md0, md1, preferred_element_type=jnp.float32)
-    z0 = _linear(p["match"], d0).astype(jnp.float32)  # (B, M, 1)
-    z1 = _linear(p["match"], d1).astype(jnp.float32)  # (B, N, 1)
+    z0 = _linear_maybe_batched(p["match"], d0).astype(jnp.float32)  # (B, M, 1)
+    z1 = _linear_maybe_batched(p["match"], d1).astype(jnp.float32)  # (B, N, 1)
     certainties = jax.nn.log_sigmoid(z0) + jnp.swapaxes(
         jax.nn.log_sigmoid(z1), -1, -2
     )
@@ -403,3 +415,212 @@ def forward(
         last_assign, d0, d1, mask0, mask1, config.descriptor_dim
     )
     return LightGlueOutput(d0, d1, scores, jnp.asarray(config.n_layers))
+
+
+# ---------------------------------------------------------------------------
+# adaptive depth + width pruning (device-side, no host round-trips)
+# ---------------------------------------------------------------------------
+
+
+class AdaptiveOutput(NamedTuple):
+    scores: jax.Array       # (B, M, N) log assignment over *compacted* slots
+    index0: jax.Array       # (B, M) compacted slot -> original keypoint index
+    index1: jax.Array       # (B, N)
+    lengths0: jax.Array     # (B,) surviving keypoint counts after pruning
+    lengths1: jax.Array     # (B,)
+    exit_layer: jax.Array   # (B,) 1-based layer at which each pair exited
+
+
+def confidence_threshold(layer_index, n_layers: int) -> jax.Array:
+    """Per-layer early-exit threshold (upstream LightGlue schedule; the
+    TokenConfidence machinery exists in the reference at lightglue.py:87-99 +
+    300-301 but is compiled out of its exported graph)."""
+    return jnp.clip(
+        0.8 + 0.1 * jnp.exp(-4.0 * layer_index.astype(jnp.float32) / n_layers),
+        0.0,
+        1.0,
+    )
+
+
+def _compact(keep: jax.Array, length: jax.Array, *arrays):
+    """Stable-partition kept tokens to the front; returns (new_length, order,
+    gathered arrays). ``keep`` is (B, N) bool. Pure gather — shapes static,
+    so this composes with the attention kernel's dynamic tail-tile skipping
+    to turn pruning into real FLOP savings."""
+    # stable argsort of (not keep): kept tokens first, original order preserved
+    order = jnp.argsort(~keep, axis=-1, stable=True)  # (B, N)
+    new_len = jnp.sum(keep.astype(jnp.int32), axis=-1)
+    out = []
+    for a in arrays:
+        if a.ndim == 2:  # (B, N)
+            out.append(jnp.take_along_axis(a, order, axis=1))
+        elif a.ndim == 3:  # (B, N, C)
+            out.append(jnp.take_along_axis(a, order[..., None], axis=1))
+        else:  # (2, B, N, C) positional-encoding freqs
+            out.append(jnp.take_along_axis(a, order[None, ..., None], axis=2))
+    return new_len, order, out
+
+
+def forward_adaptive(
+    params,
+    kpts0: jax.Array,
+    kpts1: jax.Array,
+    desc0: jax.Array,
+    desc1: jax.Array,
+    lengths0: jax.Array,
+    lengths1: jax.Array,
+    *,
+    config: LightGlueConfig,
+    policy: DTypePolicy,
+) -> AdaptiveOutput:
+    """Adaptive-depth + keypoint-pruning forward, entirely on device.
+
+    Semantics follow upstream LightGlue's ``depth_confidence`` /
+    ``width_confidence`` knobs (present-but-disabled in the reference,
+    lightglue.py:300-301, SURVEY.md §2.3 adaptive note):
+
+    - after layer i, a pair stops early when the fraction of confident
+      tokens exceeds ``depth_confidence`` — implemented as a
+      ``lax.while_loop`` so remaining layers are genuinely skipped;
+    - tokens that are confident *and* unmatchable are pruned — implemented
+      as a stable compaction (gather to front + shorter true length) so the
+      attention kernel skips their KV tiles, instead of the GPU reference
+      pattern of materializing smaller dynamic shapes.
+
+    With batch > 1 the loop runs until every pair has exited; pairs that
+    stopped earlier have their state frozen (their extra layers are SPMD
+    ballast, exact semantics preserved). Each pair's final assignment uses
+    the assignment head of the layer it exited at, like upstream.
+    """
+    n_layers = config.n_layers
+    num_heads = params["layers"]["self_attn"]["qkv"]["w"].shape[-1] // config.head_dim
+    ffn_dim = 2 * config.descriptor_dim
+    do_depth = config.depth_confidence > 0
+    do_width = config.width_confidence > 0
+    act = policy.act_dtype
+
+    b, m = desc0.shape[:2]
+    n = desc1.shape[1]
+    d0 = desc0.astype(act)
+    d1 = desc1.astype(act)
+    if "input_proj" in params:
+        d0 = _linear(params["input_proj"], d0)
+        d1 = _linear(params["input_proj"], d1)
+    freqs0 = posenc(params["posenc"], kpts0.astype(jnp.float32), config.head_dim)
+    freqs1 = posenc(params["posenc"], kpts1.astype(jnp.float32), config.head_dim)
+
+    idx0 = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m))
+    idx1 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+
+    state = dict(
+        i=jnp.asarray(0, jnp.int32),
+        d0=d0,
+        d1=d1,
+        freqs0=freqs0,
+        freqs1=freqs1,
+        len0=lengths0.astype(jnp.int32),
+        len1=lengths1.astype(jnp.int32),
+        idx0=idx0,
+        idx1=idx1,
+        stopped=jnp.zeros((b,), bool),
+        exit_layer=jnp.full((b,), n_layers, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["i"] < n_layers) & ~jnp.all(s["stopped"])
+
+    def body(s):
+        i = s["i"]
+        layer_p = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            params["layers"],
+        )
+        nd0, nd1 = transformer_layer(
+            layer_p,
+            s["d0"],
+            s["d1"],
+            s["freqs0"],
+            s["freqs1"],
+            s["len0"],
+            s["len1"],
+            num_heads,
+            policy,
+            None,
+            ffn_dim,
+        )
+        # freeze pairs that already exited
+        live = ~s["stopped"]
+        nd0 = jnp.where(live[:, None, None], nd0, s["d0"])
+        nd1 = jnp.where(live[:, None, None], nd1, s["d1"])
+
+        mask0 = jnp.arange(m)[None, :] < s["len0"][:, None]
+        mask1 = jnp.arange(n)[None, :] < s["len1"][:, None]
+
+        new = dict(s)
+        new["d0"], new["d1"] = nd0, nd1
+        new["i"] = i + 1
+
+        is_last = i >= n_layers - 1
+        if do_depth or do_width:
+            tok_p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, jnp.minimum(i, n_layers - 2), 0, keepdims=False
+                ),
+                params["token"],
+            )
+            c0, c1 = token_confidence(tok_p, nd0, nd1)
+            th = confidence_threshold(i, n_layers)
+
+        if do_depth:
+            conf0 = jnp.sum(((c0 >= th) & mask0).astype(jnp.float32), axis=-1)
+            conf1 = jnp.sum(((c1 >= th) & mask1).astype(jnp.float32), axis=-1)
+            total = jnp.maximum((s["len0"] + s["len1"]).astype(jnp.float32), 1.0)
+            ratio = (conf0 + conf1) / total
+            stop_now = live & ((ratio > config.depth_confidence) | is_last)
+        else:
+            stop_now = live & jnp.broadcast_to(is_last, (b,))
+        new["exit_layer"] = jnp.where(stop_now, i + 1, s["exit_layer"])
+        new["stopped"] = s["stopped"] | stop_now
+
+        if do_width:
+            assign_p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+                params["assign"],
+            )
+            m0 = matchability(assign_p, nd0)
+            m1 = matchability(assign_p, nd1)
+            # keep matchable-or-unconfident tokens (upstream get_pruning_mask)
+            keep0 = ((m0 > (1 - config.width_confidence)) | (c0 <= th)) & mask0
+            keep1 = ((m1 > (1 - config.width_confidence)) | (c1 <= th)) & mask1
+            # pairs that just stopped (or were stopped) keep everything
+            prune_live = ~new["stopped"]
+            keep0 = keep0 | ~prune_live[:, None] & mask0
+            keep1 = keep1 | ~prune_live[:, None] & mask1
+            nl0, _, (pd0, pf0, pidx0) = _compact(
+                keep0, s["len0"], new["d0"], s["freqs0"], s["idx0"]
+            )
+            nl1, _, (pd1, pf1, pidx1) = _compact(
+                keep1, s["len1"], new["d1"], s["freqs1"], s["idx1"]
+            )
+            new["d0"], new["freqs0"], new["idx0"], new["len0"] = pd0, pf0, pidx0, nl0
+            new["d1"], new["freqs1"], new["idx1"], new["len1"] = pd1, pf1, pidx1, nl1
+        return new
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # per-pair assignment head of the exit layer
+    exit_idx = jnp.clip(final["exit_layer"] - 1, 0, n_layers - 1)
+    assign_p = jax.tree.map(lambda a: a[exit_idx], params["assign"])
+    mask0 = jnp.arange(m)[None, :] < final["len0"][:, None]
+    mask1 = jnp.arange(n)[None, :] < final["len1"][:, None]
+    scores = match_assignment(
+        assign_p, final["d0"], final["d1"], mask0, mask1, config.descriptor_dim
+    )
+    return AdaptiveOutput(
+        scores,
+        final["idx0"],
+        final["idx1"],
+        final["len0"],
+        final["len1"],
+        final["exit_layer"],
+    )

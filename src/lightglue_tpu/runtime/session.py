@@ -90,25 +90,57 @@ class MatcherSession:
         if key not in self._match_cache:
             config, policy = self.config, self.policy
             k = min(config.max_matches, bucket0)
+            adaptive = (
+                config.lightglue.depth_confidence > 0
+                or config.lightglue.width_confidence > 0
+            )
 
             @jax.jit
             def run(lg_params, kpts0, kpts1, desc0, desc1, lengths0, lengths1):
-                out = lightglue.forward(
-                    lg_params,
-                    kpts0,
-                    kpts1,
-                    desc0,
-                    desc1,
-                    lengths0,
-                    lengths1,
-                    config=config.lightglue,
-                    policy=policy,
-                )
+                if adaptive:
+                    out = lightglue.forward_adaptive(
+                        lg_params,
+                        kpts0,
+                        kpts1,
+                        desc0,
+                        desc1,
+                        lengths0,
+                        lengths1,
+                        config=config.lightglue,
+                        policy=policy,
+                    )
+                else:
+                    out = lightglue.forward(
+                        lg_params,
+                        kpts0,
+                        kpts1,
+                        desc0,
+                        desc1,
+                        lengths0,
+                        lengths1,
+                        config=config.lightglue,
+                        policy=policy,
+                    )
                 matches = filter_matches(
                     out.scores,
                     threshold=config.match_threshold,
                     max_matches=k,
                 )
+                if adaptive:
+                    # match rows/cols live in compacted (pruned) slots; map
+                    # them back to original keypoint indices device-side
+                    rows = jnp.clip(matches.indices[..., 0], 0)
+                    cols = jnp.clip(matches.indices[..., 1], 0)
+                    orig0 = jnp.take_along_axis(out.index0, rows, axis=1)
+                    orig1 = jnp.take_along_axis(out.index1, cols, axis=1)
+                    indices = jnp.where(
+                        matches.mask[..., None],
+                        jnp.stack([orig0, orig1], axis=-1),
+                        -1,
+                    )
+                    matches = Matches(
+                        indices, matches.scores, matches.mask, matches.count
+                    )
                 return out, matches
 
             self._match_cache[key] = run
