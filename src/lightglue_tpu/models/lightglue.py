@@ -56,14 +56,27 @@ _NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
+def _weight(p, dtype):
+    """Weight fetch with transparent int8 weight-only dequantization (the
+    TRT-"best"-engine analog, see quant.py): XLA fuses the scale multiply
+    into the weight load."""
+    if "w_q" in p:
+        return (p["w_q"].astype(jnp.float32) * p["scale"]).astype(dtype)
+    return p["w"].astype(dtype)
+
+
+def _out_features(p) -> int:
+    return (p["w_q"] if "w_q" in p else p["w"]).shape[-1]
+
+
 def _linear(p, x):
-    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+    return x @ _weight(p, x.dtype) + p["b"].astype(x.dtype)
 
 
 def _linear_rowshard(p, x, tp_axis):
     """Row-sharded linear: x holds the local feature slice, w the matching
     row slice; partial products are summed over the tensor-parallel axis."""
-    partial = x @ p["w"].astype(x.dtype)
+    partial = x @ _weight(p, x.dtype)
     if tp_axis is not None:
         partial = jax.lax.psum(partial, tp_axis)
     return partial + p["b"].astype(x.dtype)
@@ -184,7 +197,7 @@ def self_block(
     # qkv weight is (3, E, E) component-major with head-major output columns,
     # so a 'model'-axis sharding of the last dim is whole-head aligned.
     qkv = (
-        jnp.einsum("bni,cio->cbno", x, p["qkv"]["w"].astype(x.dtype))
+        jnp.einsum("bni,cio->cbno", x, _weight(p["qkv"], x.dtype))
         + p["qkv"]["b"].astype(x.dtype)[:, None, None, :]
     )
     q = _split_heads(qkv[0], num_heads)
@@ -259,11 +272,11 @@ def _linear_maybe_batched(p, x):
     """Linear whose weights may carry a leading per-batch axis (used when
     each pair exits at its own adaptive depth and thus uses its own
     assignment head)."""
-    w, bias = p["w"], p["b"]
+    w, bias = _weight(p, x.dtype), p["b"]
     if w.ndim == x.ndim:  # (B, in, out) @ (B, N, in)
-        return jnp.einsum("bni,bio->bno", x, w.astype(x.dtype)) + bias.astype(
-            x.dtype
-        )[:, None, :]
+        return jnp.einsum("bni,bio->bno", x, w) + bias.astype(x.dtype)[
+            :, None, :
+        ]
     return _linear(p, x)
 
 
@@ -377,7 +390,9 @@ def forward(
       tp_axis: shard_map mesh axis name for tensor parallelism, or None.
     """
     # local head count: the 'model' axis shards whole heads
-    num_heads = params["layers"]["self_attn"]["qkv"]["w"].shape[-1] // config.head_dim
+    num_heads = (
+        _out_features(params["layers"]["self_attn"]["qkv"]) // config.head_dim
+    )
     ffn_dim = 2 * config.descriptor_dim
     act = policy.act_dtype
     d0 = desc0.astype(act)
@@ -493,7 +508,9 @@ def forward_adaptive(
     the assignment head of the layer it exited at, like upstream.
     """
     n_layers = config.n_layers
-    num_heads = params["layers"]["self_attn"]["qkv"]["w"].shape[-1] // config.head_dim
+    num_heads = (
+        _out_features(params["layers"]["self_attn"]["qkv"]) // config.head_dim
+    )
     ffn_dim = 2 * config.descriptor_dim
     do_depth = config.depth_confidence > 0
     do_width = config.width_confidence > 0

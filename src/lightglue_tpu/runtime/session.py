@@ -55,9 +55,17 @@ class MatcherSession:
             else lg_params
         )
         # SuperPoint runs in the activation dtype but keeps fp32 master
-        # weights (cast at trace time); LightGlue weights are cast once.
+        # weights (cast at trace time); LightGlue weights are cast once —
+        # or quantized to int8 with fp32 per-channel scales on the INT8 rung.
         self.sp_params = weights_lib.to_jax(sp_params)
-        self.lg_params = weights_lib.to_jax(lg_params, self.policy.param_dtype)
+        if self.policy.int8_weights:
+            from lightglue_tpu.quant import quantize_lightglue
+
+            self.lg_params = weights_lib.to_jax(quantize_lightglue(lg_params))
+        else:
+            self.lg_params = weights_lib.to_jax(
+                lg_params, self.policy.param_dtype
+            )
         self._extract_cache: Dict[Tuple[int, int, int], jax.stages.Wrapped] = {}
         self._match_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
 
