@@ -1,0 +1,177 @@
+"""Sequence-matching demo — the analog of the reference's demo_mono
+(demo/demo_mono.cpp:47-466): load an image sequence, extract SuperPoint
+keypoints and match random pairs with LightGlue, verify with fundamental-
+matrix RANSAC, optionally render match images, and report per-stage timings
+like matches_demo_mono_0/console.txt.
+
+Usage:
+  python -m lightglue_tpu.cli.demo_mono --image_dir <dir> [--out_dir out]
+      [--pairs 100] [--precision bf16] [--threshold 0.5] [--weights ckpt.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--image_dir",
+        default="/root/reference/image/freiburg_sequence",
+        help="directory of sequence frames",
+    )
+    p.add_argument("--out_dir", default=None, help="save match renders here")
+    p.add_argument("--pairs", type=int, default=100)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument(
+        "--precision", default="bf16", choices=["fp32", "mixed", "bf16", "int8"]
+    )
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="match confidence threshold (demo_mono.cpp:296)")
+    p.add_argument("--max_keypoints", type=int, default=1024)
+    p.add_argument("--depth_confidence", type=float, default=-1.0)
+    p.add_argument("--width_confidence", type=float, default=-1.0)
+    p.add_argument("--weights", default=None,
+                   help=".npz checkpoint with {superpoint,lightglue} trees "
+                        "(see runtime.weights); random init if omitted")
+    p.add_argument("--seed", type=int, default=888,
+                   help="pair-sampling seed (srand(888), demo_mono.cpp:204)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    # late imports so --help stays fast
+    from lightglue_tpu.config import (
+        LightGlueConfig,
+        PipelineConfig,
+        SuperPointConfig,
+    )
+    from lightglue_tpu.precision import Precision
+    from lightglue_tpu.runtime import host, weights
+    from lightglue_tpu.runtime.session import MatcherSession
+    from lightglue_tpu.utils.image import read_image
+
+    frames = sorted(
+        str(p)
+        for p in Path(args.image_dir).iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    )
+    if len(frames) < 2:
+        raise SystemExit(f"need >= 2 frames in {args.image_dir}")
+
+    config = PipelineConfig(
+        superpoint=SuperPointConfig(max_num_keypoints=args.max_keypoints),
+        lightglue=LightGlueConfig(
+            depth_confidence=args.depth_confidence,
+            width_confidence=args.width_confidence,
+        ),
+        precision=Precision(args.precision),
+        match_threshold=args.threshold,
+        max_matches=args.max_keypoints,
+    )
+    sp_params = lg_params = None
+    if args.weights:
+        ckpt = weights.load_npz(args.weights)
+        sp_params, lg_params = ckpt.get("superpoint"), ckpt.get("lightglue")
+    session = MatcherSession(sp_params, lg_params, config)
+
+    print(f"warming up ({args.height}x{args.width}, buckets {config.buckets})...")
+    t0 = time.perf_counter()
+    session.warmup((args.height, args.width))
+    print(f"warmup (compile all buckets): {time.perf_counter() - t0:.1f}s")
+
+    rng = random.Random(args.seed)
+    out_dir = Path(args.out_dir) if args.out_dir else None
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    cache = {}
+
+    def load(path):
+        if path not in cache:
+            rgb = read_image(path, grayscale=False)
+            cache[path] = (
+                rgb,
+                host.preprocess_image(rgb, (args.height, args.width)),
+            )
+        return cache[path]
+
+    sp_ms, lg_ms, match_counts, inlier_counts = [], [], [], []
+    for i in range(args.pairs):
+        i0, i1 = rng.sample(range(len(frames)), 2)
+        rgb0, img0 = load(frames[i0])
+        rgb1, img1 = load(frames[i1])
+
+        t0 = time.perf_counter()
+        ext0 = session.extract(img0[None])
+        ext1 = session.extract(img1[None])
+        n0, n1 = int(ext0.count[0]), int(ext1.count[0])
+        t1 = time.perf_counter()
+        out, matches = session.match_from_extractions(ext0, ext1)
+        count = int(matches.count[0])
+        t2 = time.perf_counter()
+
+        idx = np.asarray(matches.indices[0, :count])
+        k0 = np.asarray(ext0.keypoints[0])
+        k1 = np.asarray(ext1.keypoints[0])
+        m0 = k0[idx[:, 0]] if count else np.zeros((0, 2), np.float32)
+        m1 = k1[idx[:, 1]] if count else np.zeros((0, 2), np.float32)
+        inliers, mask, _ = host.ransac_fundamental(m0, m1, 500, 3.0, args.seed)
+
+        sp_ms.append((t1 - t0) * 1e3)
+        lg_ms.append((t2 - t1) * 1e3)
+        match_counts.append(count)
+        inlier_counts.append(inliers)
+        print(
+            f"pair {i:3d} [{i0:2d},{i1:2d}]: kpts {n0}/{n1}  "
+            f"matches {count:4d}  ransac inliers {inliers:4d}  "
+            f"sp {sp_ms[-1]:6.2f} ms  lg {lg_ms[-1]:6.2f} ms"
+        )
+
+        if out_dir is not None and count:
+            _render(out_dir / f"match_{i:03d}.jpg", rgb0, rgb1, m0, m1,
+                    mask, (args.height, args.width))
+
+    print("-" * 72)
+    print(
+        f"avg over {args.pairs} pairs: superpoint {np.mean(sp_ms):.2f} ms, "
+        f"lightglue {np.mean(lg_ms):.2f} ms, matches {np.mean(match_counts):.1f}, "
+        f"inliers {np.mean(inlier_counts):.1f}"
+    )
+    print(
+        "(host wall-clock incl. dispatch; see bench.py for device-true latency)"
+    )
+
+
+def _render(path, rgb0, rgb1, m0, m1, inlier_mask, hw):
+    try:
+        import cv2
+    except ImportError:
+        return
+    h, w = hw
+    im0 = cv2.resize(rgb0[..., ::-1], (w, h))
+    im1 = cv2.resize(rgb1[..., ::-1], (w, h))
+    canvas = np.concatenate([im0, im1], axis=1)
+    for (x0, y0), (x1, y1), ok in zip(m0, m1, inlier_mask):
+        color = (0, 200, 0) if ok else (0, 0, 220)
+        cv2.line(
+            canvas,
+            (int(x0), int(y0)),
+            (int(x1) + w, int(y1)),
+            color,
+            1,
+            cv2.LINE_AA,
+        )
+    cv2.imwrite(str(path), canvas)
+
+
+if __name__ == "__main__":
+    main()
