@@ -255,7 +255,30 @@ def transformer_layer(
     tp_axis=None,
     ffn_dim=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """self(d0) -> self(d1) -> cross (reference lightglue.py:208-226)."""
+    """self(d0) -> self(d1) -> cross (reference lightglue.py:208-226).
+
+    TPU-first restructuring: when both images share a bucket (the common
+    case), the two self blocks and the two cross directions are each fused
+    into ONE batched call by stacking images on the batch axis — identical
+    math (parameters are shared across images, reference lightglue.py:224-226),
+    half the kernel launches, and matmuls twice as tall for the MXU. Falls
+    back to sequential blocks when buckets differ.
+    """
+    if d0.shape == d1.shape:
+        b = d0.shape[0]
+        x = jnp.concatenate([d0, d1], axis=0)           # (2B, N, E)
+        freqs = jnp.concatenate([freqs0, freqs1], axis=1)
+        if lengths0 is None:
+            lens = None
+        else:
+            lens = jnp.concatenate([lengths0, lengths1], axis=0)
+        x = self_block(
+            p["self_attn"], x, freqs, lens, num_heads, policy, tp_axis, ffn_dim
+        )
+        x0, x1 = cross_block_fused(
+            p["cross_attn"], x, b, lens, num_heads, policy, tp_axis, ffn_dim
+        )
+        return x0, x1
     d0 = self_block(
         p["self_attn"], d0, freqs0, lengths0, num_heads, policy, tp_axis, ffn_dim
     )
@@ -266,6 +289,37 @@ def transformer_layer(
         p["cross_attn"], d0, d1, lengths0, lengths1, num_heads, policy,
         tp_axis, ffn_dim,
     )
+
+
+def cross_block_fused(
+    p,
+    x: jax.Array,
+    b: int,
+    lens: Optional[jax.Array],
+    num_heads: int,
+    policy: DTypePolicy,
+    tp_axis=None,
+    ffn_dim=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Both cross-attention directions in one attention call.
+
+    x stacks [image0; image1] on the batch axis; each query batch attends
+    the *other* image's keys/values (the roll by b), so direction 0->1 and
+    1->0 run as one batched kernel over 2B elements.
+    """
+    qk = _split_heads(_linear(p["qk"], x), num_heads)   # (2B, H, N, D)
+    v = _split_heads(_linear(p["v"], x), num_heads)
+    swap = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(b)])
+    kv_qk = qk[swap]
+    kv_v = v[swap]
+    if lens is None:
+        lens2 = None
+    else:
+        lens2 = jnp.stack([lens, lens[swap]], axis=-1)
+    m = _attend(qk, kv_qk, kv_v, lens2, policy)
+    m = _linear_rowshard(p["out"], _merge_heads(m), tp_axis)
+    out = _ffn(p, x, m, tp_axis, ffn_dim)
+    return out[:b], out[b:]
 
 
 def _linear_maybe_batched(p, x):
