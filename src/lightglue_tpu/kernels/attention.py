@@ -287,6 +287,453 @@ def flash_attention(
     )(lengths, q, k, v)
 
 
+def _fused_mha_kernel(
+    lens_ref,   # SMEM (B, 2) int32 [q_len, kv_len]
+    q_ref,      # VMEM (1, HPACK, block_q, D)
+    k_ref,      # VMEM (1, HPACK, Nk, D)
+    v_ref,      # VMEM (1, HPACK, Nk, D)
+    freqs_ref,  # VMEM (1, 2, Nf, D) [cos; sin] (zeros when rope is off)
+    o_ref,      # VMEM (1, block_q, H*D) — revisited across the hp grid dim
+    *,
+    scale: float,
+    block_k: int,
+    num_kv_blocks: int,
+    stat_dtype,
+    masked: bool,
+    rope: bool,
+    head_dim: int,
+    hpack: int,
+):
+    """Processes ``hpack`` heads per grid step so the merged-layout output
+    store lands on a 128-lane-aligned offset (hpack * head_dim == 128 for
+    LightGlue's D=64), which Mosaic requires for dynamic lane slices."""
+    block_q = q_ref.shape[2]
+    b = pl.program_id(0)
+    iq = pl.program_id(1)
+    hp = pl.program_id(2)
+
+    low_precision_stats = stat_dtype != jnp.float32
+
+    def _quant(x):
+        return x.astype(stat_dtype).astype(jnp.float32) if low_precision_stats else x
+
+    def _rope(t, row0, rows):
+        """Half-split rotary on (rows, D); freqs are tiled per-half
+        (models/lightglue.py posenc docstring)."""
+        cos = freqs_ref[0, 0, pl.ds(row0, rows), :].astype(t.dtype)
+        sin = freqs_ref[0, 1, pl.ds(row0, rows), :].astype(t.dtype)
+        half = head_dim // 2
+        rot = jnp.concatenate([-t[:, half:], t[:, :half]], axis=-1)
+        return t * cos + rot * sin
+
+    if masked:
+        kv_len = lens_ref[b, 1]
+        q_len = lens_ref[b, 0]
+        num_kv = jnp.minimum(
+            jnp.asarray(num_kv_blocks, jnp.int32),
+            (kv_len + block_k - 1) // block_k,
+        )
+        stripe_active = iq * block_q < q_len
+    else:
+        num_kv = num_kv_blocks
+        stripe_active = True
+
+    def one_head(h):
+        q = q_ref[0, h, :, :]
+        if rope:
+            q = _rope(q, iq * block_q, block_q)
+
+        m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+        l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+        acc0 = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+
+        def body(j, carry):
+            m_prev, l_prev, acc = carry
+            k_tile = k_ref[0, h, pl.ds(j * block_k, block_k), :]
+            v_tile = v_ref[0, h, pl.ds(j * block_k, block_k), :]
+            if rope:
+                k_tile = _rope(k_tile, j * block_k, block_k)
+            s = jax.lax.dot_general(
+                q,
+                k_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = _quant(s * scale)
+            if masked:
+                col = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                s = jnp.where(col < kv_len, s, _NEG_INF)
+            m_new = _quant(
+                jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            )
+            p = _quant(jnp.exp(s - m_new))
+            correction = _quant(jnp.exp(m_prev - m_new))
+            l_new = _quant(
+                l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+            )
+            pv = jax.lax.dot_general(
+                p.astype(v_tile.dtype),
+                v_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_new = _quant(acc * correction + pv)
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(
+            0, num_kv, body, (m0, l0, acc0), unroll=not masked
+        )
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out = acc / l_safe
+        if masked:
+            row = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, head_dim), 0
+            )
+            out = jnp.where(row < q_len, out, jnp.zeros_like(out))
+        return out
+
+    lane0 = pl.multiple_of(hp * hpack * head_dim, hpack * head_dim)
+
+    @pl.when(stripe_active)
+    def _():
+        packed = jnp.concatenate(
+            [one_head(h) for h in range(hpack)], axis=-1
+        )
+        o_ref[0, :, pl.ds(lane0, hpack * head_dim)] = packed.astype(o_ref.dtype)
+
+    if masked:
+
+        @pl.when(jnp.logical_not(stripe_active))
+        def _():
+            o_ref[0, :, pl.ds(lane0, hpack * head_dim)] = jnp.zeros(
+                (block_q, hpack * head_dim), dtype=o_ref.dtype
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "stat_dtype", "out_dtype", "block_q", "block_k"),
+)
+def fused_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    freqs: Optional[jax.Array] = None,
+    lengths: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    stat_dtype=jnp.float32,
+    out_dtype=None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Model-path attention: heads-separated inputs, fused rotary embedding,
+    heads-merged output.
+
+    Differences from ``flash_attention`` (the generic kernel):
+    - optional in-kernel half-split RoPE on q and k (``freqs`` (B, 2, N, D)
+      [cos; sin], tiled per-half) — replaces a separate VPU pass over HBM;
+    - output is written directly in (B, Nq, H*D) layout, each (b, q-stripe)
+      output block revisited across the innermost head grid dimension —
+      eliminating the head-merge transpose that costs more than the whole
+      attention matmul at LightGlue sizes.
+
+    Args:
+      q: (B, H, Nq, D); k/v: (B, H, Nk, D); RoPE requires Nq == Nk == N
+        (self-attention).
+
+    Returns:
+      (B, Nq, H*D).
+    """
+    batch, heads, nq, head_dim = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k:
+        raise ValueError(f"seq ({nq}, {nk}) not divisible by blocks")
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    out_dtype = out_dtype or q.dtype
+    stat_dtype = jnp.dtype(stat_dtype)
+
+    masked = lengths is not None
+    if lengths is None:
+        lengths = jnp.zeros((batch, 2), jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    rope = freqs is not None
+    if freqs is None:
+        freqs = jnp.zeros((batch, 2, 1, head_dim), jnp.float32)
+    if rope and freqs.shape[2] != nk:
+        raise ValueError("rope requires freqs rows == kv rows (self-attention)")
+
+    num_q_blocks = nq // block_q
+    num_kv_blocks = nk // block_k
+
+    # pack heads so each output store covers >= 128 lanes (aligned)
+    hpack = max(1, 128 // head_dim)
+    while heads % hpack:
+        hpack //= 2
+    kernel = functools.partial(
+        _fused_mha_kernel,
+        scale=float(scale),
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        stat_dtype=stat_dtype,
+        masked=masked,
+        rope=rope,
+        head_dim=head_dim,
+        hpack=hpack,
+    )
+    nf = freqs.shape[2]
+    grid = (batch, num_q_blocks, heads // hpack)  # head-packs innermost:
+    # the (b, iq) output block stays resident across them
+    flops = 2 * 2 * batch * heads * nq * nk * head_dim
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (batch, 2), lambda b, iq, h: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, hpack, block_q, head_dim),
+                lambda b, iq, h: (b, h, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpack, nk, head_dim),
+                lambda b, iq, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpack, nk, head_dim),
+                lambda b, iq, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, nf, head_dim),
+                lambda b, iq, h: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, heads * head_dim),
+            lambda b, iq, h: (b, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, nq, heads * head_dim), out_dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size + freqs.size)
+            * q.dtype.itemsize
+            + batch * nq * heads * head_dim * jnp.dtype(out_dtype).itemsize,
+            transcendentals=batch * heads * nq * nk,
+        ),
+        interpret=_interpret(),
+    )(lengths, q, k, v, freqs)
+
+
+def _bidir_cross_kernel(
+    lens_ref,   # SMEM (B, 2) int32 [n0, n1]
+    qk0_ref,    # VMEM (1, HPACK, N0, D)
+    qk1_ref,    # VMEM (1, HPACK, N1, D)
+    v0_ref,     # VMEM (1, HPACK, N0, D)
+    v1_ref,     # VMEM (1, HPACK, N1, D)
+    o0_ref,     # VMEM (1, N0, H*D)
+    o1_ref,     # VMEM (1, N1, H*D)
+    *,
+    scale: float,
+    stat_dtype,
+    masked: bool,
+    head_dim: int,
+    hpack: int,
+):
+    b = pl.program_id(0)
+    hp = pl.program_id(1)
+    n0 = qk0_ref.shape[2]
+    n1 = qk1_ref.shape[2]
+    low_precision_stats = stat_dtype != jnp.float32
+
+    def _quant(x):
+        return x.astype(stat_dtype).astype(jnp.float32) if low_precision_stats else x
+
+    if masked:
+        len0 = lens_ref[b, 0]
+        len1 = lens_ref[b, 1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
+
+    def one_head(h):
+        qk0 = qk0_ref[0, h, :, :]
+        qk1 = qk1_ref[0, h, :, :]
+        # the shared-projection similarity matrix, computed ONCE — direction
+        # 1->0 consumes its transpose (reference computes both directions
+        # with two full attention calls, lightglue.py:188-205)
+        s = jax.lax.dot_general(
+            qk0,
+            qk1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = _quant(s * scale)
+
+        # direction 0 -> 1: softmax over columns j (keys in image 1)
+        s_row = jnp.where(cols < len1, s, _NEG_INF) if masked else s
+        m0 = _quant(jnp.max(s_row, axis=1, keepdims=True))
+        p0 = _quant(jnp.exp(s_row - m0))
+        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))
+        p0 = p0 / jnp.where(l0 == 0.0, 1.0, l0)
+        o0 = jax.lax.dot_general(
+            p0.astype(v1_ref.dtype),
+            v1_ref[0, h, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # direction 1 -> 0: softmax over rows i (keys in image 0); O1 via a
+        # contraction over axis 0, i.e. the transpose ride is free on the MXU
+        s_col = jnp.where(rows < len0, s, _NEG_INF) if masked else s
+        m1 = _quant(jnp.max(s_col, axis=0, keepdims=True))
+        p1 = _quant(jnp.exp(s_col - m1))
+        l1 = _quant(jnp.sum(p1, axis=0, keepdims=True))
+        p1 = p1 / jnp.where(l1 == 0.0, 1.0, l1)
+        o1 = jax.lax.dot_general(
+            p1.astype(v0_ref.dtype),
+            v0_ref[0, h, :, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        if masked:
+            r0 = jax.lax.broadcasted_iota(jnp.int32, (n0, head_dim), 0)
+            o0 = jnp.where(r0 < len0, o0, jnp.zeros_like(o0))
+            r1 = jax.lax.broadcasted_iota(jnp.int32, (n1, head_dim), 0)
+            o1 = jnp.where(r1 < len1, o1, jnp.zeros_like(o1))
+        return o0, o1
+
+    outs = [one_head(h) for h in range(hpack)]
+    lane0 = pl.multiple_of(hp * hpack * head_dim, hpack * head_dim)
+    o0_ref[0, :, pl.ds(lane0, hpack * head_dim)] = jnp.concatenate(
+        [o[0] for o in outs], axis=-1
+    ).astype(o0_ref.dtype)
+    o1_ref[0, :, pl.ds(lane0, hpack * head_dim)] = jnp.concatenate(
+        [o[1] for o in outs], axis=-1
+    ).astype(o1_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "stat_dtype", "out_dtype")
+)
+def bidirectional_cross_attention(
+    qk0: jax.Array,
+    qk1: jax.Array,
+    v0: jax.Array,
+    v1: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    stat_dtype=jnp.float32,
+    out_dtype=None,
+):
+    """Both directions of LightGlue's symmetric cross-attention in one pass.
+
+    Because the projection is shared (reference lightglue.py:177,190-198),
+    scores(1->0) == scores(0->1)^T; this kernel materializes S once per head
+    in VMEM and softmax-normalizes it along both axes — one QK^T matmul
+    instead of two, and the transposed PV ride is a free contraction-axis
+    choice on the MXU. Requires whole sequences in VMEM (N <= ~1024 at D=64,
+    always true for LightGlue buckets); callers fall back to two
+    ``fused_mha`` calls beyond that.
+
+    Args:
+      qk0/v0: (B, H, N0, D); qk1/v1: (B, H, N1, D).
+      lengths: optional (B, 2) int32 [n0, n1].
+
+    Returns:
+      (O0 (B, N0, H*D), O1 (B, N1, H*D)).
+    """
+    batch, heads, n0, head_dim = qk0.shape
+    n1 = qk1.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    out_dtype = out_dtype or qk0.dtype
+    stat_dtype = jnp.dtype(stat_dtype)
+    masked = lengths is not None
+    if lengths is None:
+        lengths = jnp.zeros((batch, 2), jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    hpack = max(1, 128 // head_dim)
+    while heads % hpack:
+        hpack //= 2
+    kernel = functools.partial(
+        _bidir_cross_kernel,
+        scale=float(scale),
+        stat_dtype=stat_dtype,
+        masked=masked,
+        head_dim=head_dim,
+        hpack=hpack,
+    )
+    flops = 2 * batch * heads * n0 * n1 * head_dim * 3
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, heads // hpack),
+        in_specs=[
+            pl.BlockSpec(
+                (batch, 2), lambda b, h: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, hpack, n0, head_dim),
+                lambda b, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpack, n1, head_dim),
+                lambda b, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpack, n0, head_dim),
+                lambda b, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hpack, n1, head_dim),
+                lambda b, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, n0, heads * head_dim),
+                lambda b, h: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n1, heads * head_dim),
+                lambda b, h: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n0, heads * head_dim), out_dtype),
+            jax.ShapeDtypeStruct((batch, n1, heads * head_dim), out_dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(qk0.size + qk1.size + v0.size + v1.size)
+            * qk0.dtype.itemsize,
+            transcendentals=2 * batch * heads * n0 * n1,
+        ),
+        interpret=_interpret(),
+    )(lengths, qk0, qk1, v0, v1)
+
+
 def reference_attention(
     q: jax.Array,
     k: jax.Array,

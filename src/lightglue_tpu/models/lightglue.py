@@ -45,7 +45,15 @@ import jax
 import jax.numpy as jnp
 
 from lightglue_tpu.config import LightGlueConfig
-from lightglue_tpu.kernels.attention import flash_attention
+from lightglue_tpu.kernels.attention import (
+    bidirectional_cross_attention,
+    flash_attention,
+    fused_mha,
+)
+
+# beyond this the bidirectional kernel's full S tile would overflow VMEM;
+# LightGlue buckets (<= 1024) always fit
+_BIDIR_MAX_N = 1024
 from lightglue_tpu.precision import DTypePolicy
 
 _NEG_INF = -1e30
@@ -100,34 +108,40 @@ def _layer_norm(g, b, x, eps: float = 1e-5, tp_axis=None, global_dim=None):
 
 
 def posenc(p, kpts: jax.Array, head_dim: int) -> jax.Array:
-    """Learnable Fourier positional encoding -> (2, B, N, head_dim).
+    """Learnable Fourier positional encoding -> (B, 2, N, head_dim).
 
-    reference lightglue.py:75-84: project (x, y) to head_dim/2 frequencies,
-    take cos/sin, duplicate each value pairwise along the feature axis so the
-    encoding matches the interleaved-pair rotation below.
+    reference lightglue.py:75-84: project (x, y) to head_dim/2 frequencies
+    and take cos/sin. The reference duplicates each frequency *pairwise*
+    ([f0,f0,f1,f1,...]) to pair with interleaved RoPE; here frequencies are
+    *tiled* ([f0..f31,f0..f31]) to pair with the half-split RoPE layout the
+    q/k weights are permuted into at load time
+    (runtime/weights.py:rope_permutation) — exactly equivalent math, but the
+    rotation becomes a lane-block swap the VPU does nearly for free.
     """
     projected = kpts @ p["wr"]  # (B, N, head_dim//2)
-    emb = jnp.stack([jnp.cos(projected), jnp.sin(projected)], axis=0)
-    # duplicate pairwise: f -> [f0, f0, f1, f1, ...]
-    emb = jnp.repeat(emb, 2, axis=-1)  # (2, B, N, head_dim)
+    emb = jnp.stack([jnp.cos(projected), jnp.sin(projected)], axis=1)
+    emb = jnp.concatenate([emb, emb], axis=-1)  # (B, 2, N, head_dim), tiled
     return emb
 
 
 def rotate_half(t: jax.Array) -> jax.Array:
-    """Interleaved-pair rotation: (..., [x0, y0, x1, y1]) -> (..., [-y0, x0, -y1, x1]).
+    """Half-split rotation: (..., [x, y]) halves -> (..., [-y, x]).
 
-    reference lightglue.py:154-159 (reshape to (..., d/2, 2), stack(-t1, t0)).
+    Composed with the load-time de-interleave permutation of the q/k
+    weights this equals the reference's interleaved-pair rotation
+    (lightglue.py:154-159); see runtime/weights.py:rope_permutation.
     """
-    shape = t.shape
-    t = t.reshape(*shape[:-1], shape[-1] // 2, 2)
-    t = jnp.stack([-t[..., 1], t[..., 0]], axis=-1)
-    return t.reshape(shape)
+    half = t.shape[-1] // 2
+    return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
 
 
 def apply_rotary(freqs: jax.Array, t: jax.Array) -> jax.Array:
-    """t*cos + rotate_half(t)*sin, freqs (2, B, N, D) onto t (B, H, N, D)."""
-    cos = freqs[0][:, None, :, :]
-    sin = freqs[1][:, None, :, :]
+    """t*cos + rotate_half(t)*sin, freqs (B, 2, N, D) onto t (B, H, N, D).
+
+    Kept for the generic/off-kernel path; the model applies RoPE inside
+    ``fused_mha``."""
+    cos = freqs[:, 0][:, None, :, :]
+    sin = freqs[:, 1][:, None, :, :]
     return t * cos.astype(t.dtype) + rotate_half(t) * sin.astype(t.dtype)
 
 
@@ -149,11 +163,15 @@ def _attend(
     v: jax.Array,
     lengths: Optional[jax.Array],
     policy: DTypePolicy,
+    freqs: Optional[jax.Array] = None,
 ) -> jax.Array:
-    out = flash_attention(
+    """(B, H, N, D) q/k/v -> (B, N, H*D) via the fused kernel; optional
+    in-kernel rotary (freqs (B, 2, N, D))."""
+    out = fused_mha(
         q.astype(policy.attn_in_dtype),
         k.astype(policy.attn_in_dtype),
         v.astype(policy.attn_in_dtype),
+        freqs,
         lengths,
         stat_dtype=policy.attn_stat_dtype,
         out_dtype=policy.attn_out_dtype,
@@ -196,6 +214,8 @@ def self_block(
     """
     # qkv weight is (3, E, E) component-major with head-major output columns,
     # so a 'model'-axis sharding of the last dim is whole-head aligned.
+    # ``freqs`` is (B, 2, N, D); the rotary embedding is applied to q and k
+    # inside the attention kernel (half-split layout, weights pre-permuted).
     qkv = (
         jnp.einsum("bni,cio->cbno", x, _weight(p["qkv"], x.dtype))
         + p["qkv"]["b"].astype(x.dtype)[:, None, None, :]
@@ -203,11 +223,9 @@ def self_block(
     q = _split_heads(qkv[0], num_heads)
     k = _split_heads(qkv[1], num_heads)
     v = _split_heads(qkv[2], num_heads)
-    q = apply_rotary(freqs, q)
-    k = apply_rotary(freqs, k)
     lens2 = None if lengths is None else jnp.stack([lengths, lengths], axis=-1)
-    context = _attend(q, k, v, lens2, policy)
-    message = _linear_rowshard(p["out"], _merge_heads(context), tp_axis)
+    context = _attend(q, k, v, lens2, policy, freqs)
+    message = _linear_rowshard(p["out"], context, tp_axis)
     return _ffn(p, x, message, tp_axis, ffn_dim)
 
 
@@ -230,6 +248,35 @@ def cross_block(
     qk1 = _split_heads(_linear(p["qk"], x1), num_heads)
     v0 = _split_heads(_linear(p["v"], x0), num_heads)
     v1 = _split_heads(_linear(p["v"], x1), num_heads)
+    m0, m1 = _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy)
+    m0 = _linear_rowshard(p["out"], m0, tp_axis)
+    m1 = _linear_rowshard(p["out"], m1, tp_axis)
+    return _ffn(p, x0, m0, tp_axis, ffn_dim), _ffn(p, x1, m1, tp_axis, ffn_dim)
+
+
+def _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy):
+    """Bidirectional cross-attention -> ((B, N0, H*D), (B, N1, H*D)).
+
+    Uses the shared-S single-matmul kernel when both sequences fit VMEM,
+    otherwise two streaming fused_mha calls."""
+    n0, n1 = qk0.shape[2], qk1.shape[2]
+    dt = policy.attn_in_dtype
+    if max(n0, n1) <= _BIDIR_MAX_N:
+        lens = (
+            None
+            if lengths0 is None
+            else jnp.stack([lengths0, lengths1], axis=-1)
+        )
+        m0, m1 = bidirectional_cross_attention(
+            qk0.astype(dt),
+            qk1.astype(dt),
+            v0.astype(dt),
+            v1.astype(dt),
+            lens,
+            stat_dtype=policy.attn_stat_dtype,
+            out_dtype=policy.attn_out_dtype,
+        )
+        return m0.astype(qk0.dtype), m1.astype(qk0.dtype)
     if lengths0 is None:
         l01 = l10 = None
     else:
@@ -237,9 +284,7 @@ def cross_block(
         l10 = jnp.stack([lengths1, lengths0], axis=-1)
     m0 = _attend(qk0, qk1, v1, l01, policy)
     m1 = _attend(qk1, qk0, v0, l10, policy)
-    m0 = _linear_rowshard(p["out"], _merge_heads(m0), tp_axis)
-    m1 = _linear_rowshard(p["out"], _merge_heads(m1), tp_axis)
-    return _ffn(p, x0, m0, tp_axis, ffn_dim), _ffn(p, x1, m1, tp_axis, ffn_dim)
+    return m0, m1
 
 
 def transformer_layer(
@@ -267,7 +312,7 @@ def transformer_layer(
     if d0.shape == d1.shape:
         b = d0.shape[0]
         x = jnp.concatenate([d0, d1], axis=0)           # (2B, N, E)
-        freqs = jnp.concatenate([freqs0, freqs1], axis=1)
+        freqs = jnp.concatenate([freqs0, freqs1], axis=0)
         if lengths0 is None:
             lens = None
         else:
@@ -309,15 +354,17 @@ def cross_block_fused(
     """
     qk = _split_heads(_linear(p["qk"], x), num_heads)   # (2B, H, N, D)
     v = _split_heads(_linear(p["v"], x), num_heads)
-    swap = jnp.concatenate([jnp.arange(b, 2 * b), jnp.arange(b)])
-    kv_qk = qk[swap]
-    kv_v = v[swap]
-    if lens is None:
-        lens2 = None
-    else:
-        lens2 = jnp.stack([lens, lens[swap]], axis=-1)
-    m = _attend(qk, kv_qk, kv_v, lens2, policy)
-    m = _linear_rowshard(p["out"], _merge_heads(m), tp_axis)
+    m0, m1 = _cross_attend(
+        qk[:b],
+        qk[b:],
+        v[:b],
+        v[b:],
+        None if lens is None else lens[:b],
+        None if lens is None else lens[b:],
+        policy,
+    )
+    m = jnp.concatenate([m0, m1], axis=0)  # (2B, N, H*D)
+    m = _linear_rowshard(p["out"], m, tp_axis)
     out = _ffn(p, x, m, tp_axis, ffn_dim)
     return out[:b], out[b:]
 
@@ -525,8 +572,8 @@ def _compact(keep: jax.Array, length: jax.Array, *arrays):
             out.append(jnp.take_along_axis(a, order, axis=1))
         elif a.ndim == 3:  # (B, N, C)
             out.append(jnp.take_along_axis(a, order[..., None], axis=1))
-        else:  # (2, B, N, C) positional-encoding freqs
-            out.append(jnp.take_along_axis(a, order[None, ..., None], axis=2))
+        else:  # (B, 2, N, C) positional-encoding freqs
+            out.append(jnp.take_along_axis(a, order[:, None, :, None], axis=2))
     return new_len, order, out
 
 

@@ -135,21 +135,49 @@ def _b(sd: Mapping[str, Array], key: str) -> Array:
     return np.asarray(sd[key]).astype(np.float32)
 
 
+def rope_permutation(head_dim: int) -> np.ndarray:
+    """De-interleave permutation turning interleaved-pair RoPE into
+    half-split RoPE.
+
+    The reference rotates interleaved pairs (2i, 2i+1) with frequency i
+    (lightglue.py:154-165). Permuting the q/k head dims by
+    perm[j] = 2j (j < d/2) else 2(j-d/2)+1 makes the identical rotation act
+    on halves (j, j+d/2) — TPU-friendly lane-block swaps instead of
+    per-pair shuffles — and leaves Q K^T (hence all model outputs) exactly
+    invariant because q and k are permuted consistently.
+    """
+    half = head_dim // 2
+    perm = np.empty(head_dim, np.int64)
+    perm[:half] = 2 * np.arange(half)
+    perm[half:] = 2 * np.arange(half) + 1
+    return perm
+
+
 def _repack_qkv(w_torch: Array, b_torch: Array, heads: int, head_dim: int):
     """torch Wqkv (3E, E) with (h, d, 3)-interleaved rows -> (3, E, E)
-    component-major, head-major output columns.
+    component-major, head-major output columns, q/k RoPE-permuted.
 
     Row o of the torch weight corresponds to head h = o // (head_dim*3),
     d = (o % (head_dim*3)) // 3, component c = o % 3 — from
     qkv.reshape(B, N, heads, head_dim, 3) in reference lightglue.py:140.
+    The q and k components additionally get the half-split RoPE permutation
+    (see ``rope_permutation``).
     """
     e = heads * head_dim
+    perm = rope_permutation(head_dim)
     wt = w_torch.T.astype(np.float32)  # (in=E, out=3E)
     wt = wt.reshape(e, heads, head_dim, 3)
-    w = np.stack([wt[..., c].reshape(e, e) for c in range(3)])  # (3, E, E)
     bt = b_torch.astype(np.float32).reshape(heads, head_dim, 3)
-    b = np.stack([bt[..., c].reshape(e) for c in range(3)])  # (3, E)
-    return {"w": np.ascontiguousarray(w), "b": b}
+    ws, bs = [], []
+    for c in range(3):
+        wc = wt[..., c]  # (E, heads, head_dim)
+        bc = bt[..., c]
+        if c < 2:  # q and k feel the rotary embedding; v does not
+            wc = wc[..., perm]
+            bc = bc[..., perm]
+        ws.append(wc.reshape(e, e))
+        bs.append(bc.reshape(e))
+    return {"w": np.ascontiguousarray(np.stack(ws)), "b": np.stack(bs)}
 
 
 def lightglue_from_state_dict(

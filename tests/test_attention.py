@@ -115,3 +115,87 @@ def test_jit_and_grad_free_forward(rng):
 
     val = f(q, k, v)
     assert np.isfinite(float(val))
+
+
+def test_fused_mha_matches_flash_attention(rng):
+    """Model-path kernel (merged output + optional in-kernel RoPE) vs the
+    generic kernel + explicit merge."""
+    import jax
+
+    q, k, v = _make_qkv(rng, 2, 4, 256, 256, 64, jnp.float32)
+    from lightglue_tpu.kernels.attention import fused_mha
+
+    out = fused_mha(q, k, v)
+    ref = flash_attention(q, k, v)
+    ref_merged = np.asarray(ref).transpose(0, 2, 1, 3).reshape(2, 256, 256)
+    np.testing.assert_allclose(np.asarray(out), ref_merged, atol=1e-5, rtol=1e-5)
+
+    lens = jnp.array([[200, 150], [256, 256]], jnp.int32)
+    out_m = fused_mha(q, k, v, None, lens)
+    ref_m = flash_attention(q, k, v, lens)
+    ref_m = np.asarray(ref_m).transpose(0, 2, 1, 3).reshape(2, 256, 256)
+    np.testing.assert_allclose(np.asarray(out_m), ref_m, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mha_rope_matches_external_rotary(rng):
+    from lightglue_tpu.kernels.attention import fused_mha
+    from lightglue_tpu.models.lightglue import apply_rotary
+
+    q, k, v = _make_qkv(rng, 1, 4, 128, 128, 64, jnp.float32)
+    freqs = jnp.asarray(
+        rng.uniform(-1, 1, (1, 2, 128, 64)).astype(np.float32)
+    )
+    out = fused_mha(q, k, v, freqs)
+    q_r = apply_rotary(freqs, q)
+    k_r = apply_rotary(freqs, k)
+    ref = flash_attention(q_r, k_r, v)
+    ref_merged = np.asarray(ref).transpose(0, 2, 1, 3).reshape(1, 128, 256)
+    np.testing.assert_allclose(np.asarray(out), ref_merged, atol=1e-5, rtol=1e-5)
+
+
+def test_bidirectional_cross_matches_two_attentions(rng):
+    """One shared-S pass == two independent attention calls (the reference's
+    CrossBlock runs attention twice, lightglue.py:188-205)."""
+    from lightglue_tpu.kernels.attention import bidirectional_cross_attention
+
+    qk0 = jnp.asarray(rng.standard_normal((2, 4, 256, 64), dtype=np.float32))
+    qk1 = jnp.asarray(rng.standard_normal((2, 4, 192, 64), dtype=np.float32))
+    v0 = jnp.asarray(rng.standard_normal((2, 4, 256, 64), dtype=np.float32))
+    v1 = jnp.asarray(rng.standard_normal((2, 4, 192, 64), dtype=np.float32))
+    o0, o1 = bidirectional_cross_attention(qk0, qk1, v0, v1)
+    r0 = reference_attention(qk0, qk1, v1)
+    r1 = reference_attention(qk1, qk0, v0)
+    np.testing.assert_allclose(
+        np.asarray(o0),
+        np.asarray(r0).transpose(0, 2, 1, 3).reshape(2, 256, 256),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1),
+        np.asarray(r1).transpose(0, 2, 1, 3).reshape(2, 192, 256),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    # masked: ragged per-pair lengths
+    lens = jnp.array([[200, 100], [256, 192]], jnp.int32)
+    o0m, o1m = bidirectional_cross_attention(qk0, qk1, v0, v1, lens)
+    for bi in range(2):
+        n0, n1 = int(lens[bi, 0]), int(lens[bi, 1])
+        rr0 = reference_attention(
+            qk0[bi : bi + 1, :, :n0], qk1[bi : bi + 1, :, :n1], v1[bi : bi + 1, :, :n1]
+        )
+        np.testing.assert_allclose(
+            np.asarray(o0m[bi, :n0]),
+            np.asarray(rr0).transpose(0, 2, 1, 3).reshape(n0, 256),
+            atol=1e-5, rtol=1e-5,
+        )
+        np.testing.assert_array_equal(np.asarray(o0m[bi, n0:]), 0.0)
+        rr1 = reference_attention(
+            qk1[bi : bi + 1, :, :n1], qk0[bi : bi + 1, :, :n0], v0[bi : bi + 1, :, :n0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1m[bi, :n1]),
+            np.asarray(rr1).transpose(0, 2, 1, 3).reshape(n1, 256),
+            atol=1e-5, rtol=1e-5,
+        )
+        np.testing.assert_array_equal(np.asarray(o1m[bi, n1:]), 0.0)

@@ -104,11 +104,22 @@ def test_bf16_policy_close_to_fp32(rng, small_model):
     assert agree > 0.9, f"bf16 argmax agreement {agree}"
 
 
-def test_rotate_half_interleaved_semantics():
-    """rotate_half pairs (x0,y0,x1,y1) -> (-y0,x0,-y1,x1), NOT halves."""
-    t = jnp.asarray(np.arange(8, dtype=np.float32)[None, None, None, :])
-    r = np.asarray(lg.rotate_half(t))[0, 0, 0]
-    np.testing.assert_array_equal(r, [-1, 0, -3, 2, -5, 4, -7, 6])
+def test_rotate_half_halfsplit_with_permutation_equals_interleaved():
+    """The runtime layout is half-split; composed with the load-time q/k
+    de-interleave permutation it must reproduce the reference's interleaved
+    rotation (lightglue.py:154-159) exactly."""
+    from lightglue_tpu.runtime.weights import rope_permutation
+
+    d = 8
+    t = np.arange(d, dtype=np.float32)
+    # reference interleaved rotation on the unpermuted vector
+    pairs = t.reshape(d // 2, 2)
+    ref = np.stack([-pairs[:, 1], pairs[:, 0]], -1).reshape(d)
+    # runtime: permute, half-split-rotate, unpermute
+    perm = rope_permutation(d)
+    ours = np.asarray(lg.rotate_half(jnp.asarray(t[perm])[None]))[0]
+    inv = np.argsort(perm)
+    np.testing.assert_array_equal(ours[inv], ref)
 
 
 def test_token_confidence_and_matchability(rng, small_model):
