@@ -16,7 +16,7 @@ Layout conventions (see models/lightglue.py docstring):
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -181,15 +181,23 @@ def _repack_qkv(w_torch: Array, b_torch: Array, heads: int, head_dim: int):
 
 
 def lightglue_from_state_dict(
-    sd: Mapping[str, Array], config: LightGlueConfig = LightGlueConfig()
+    sd: Mapping[str, Array], config: Optional[LightGlueConfig] = None
 ) -> Dict:
     """Convert a (numpy-valued) torch state dict to the JAX pytree.
 
     Accepts both the modern key scheme (``transformers.{i}.self_attn...``)
     and the pre-rename one (``self_attn.{i}...``) the reference shims
-    (lightglue.py:347-354).
+    (lightglue.py:347-354). Layer count is inferred from the keys when no
+    config is given.
     """
     sd = dict(sd)
+    if config is None:
+        n_layers = 1 + max(
+            int(k.split(".")[1])
+            for k in sd
+            if k.startswith(("transformers.", "log_assignment."))
+        )
+        config = LightGlueConfig(n_layers=n_layers)
     for i in range(config.n_layers):
         for old, new in (
             (f"self_attn.{i}.", f"transformers.{i}.self_attn."),

@@ -1,0 +1,89 @@
+"""Matplotlib visualization helpers — capability parity with the
+reference's viz2d.py (lightglue_pytorch_with_plugin/viz2d.py: plot_images,
+plot_keypoints, plot_matches, red-green confidence colormap), re-written
+around numpy arrays instead of torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def cm_RdGn(x) -> np.ndarray:
+    """Map values in [0, 1] to a red -> green colormap (viz2d.py analog)."""
+    x = np.clip(np.asarray(x, np.float32), 0, 1)[..., None]
+    green = np.array([0.1, 0.8, 0.2], np.float32)
+    red = np.array([0.85, 0.15, 0.15], np.float32)
+    return x * green + (1 - x) * red
+
+
+def plot_images(
+    images: Sequence[np.ndarray],
+    titles: Optional[Sequence[str]] = None,
+    dpi: int = 100,
+):
+    """Side-by-side image grid; returns (fig, axes)."""
+    import matplotlib.pyplot as plt
+
+    n = len(images)
+    ratios = [im.shape[1] / im.shape[0] for im in images]
+    fig, axes = plt.subplots(
+        1, n, figsize=(sum(ratios) * 4.5, 4.5), dpi=dpi,
+        gridspec_kw={"width_ratios": ratios},
+    )
+    if n == 1:
+        axes = [axes]
+    for ax, im in zip(axes, images):
+        if im.ndim == 3 and im.shape[-1] == 1:
+            im = im[..., 0]
+        ax.imshow(im, cmap="gray" if im.ndim == 2 else None)
+        ax.set_axis_off()
+    if titles:
+        for ax, t in zip(axes, titles):
+            ax.set_title(t)
+    fig.tight_layout(pad=0.5)
+    return fig, axes
+
+
+def plot_keypoints(axes, kpts_list, colors="lime", ps: float = 4.0):
+    """Scatter keypoints onto existing axes."""
+    if isinstance(colors, str):
+        colors = [colors] * len(kpts_list)
+    for ax, kpts, c in zip(axes, kpts_list, colors):
+        kpts = np.asarray(kpts)
+        ax.scatter(kpts[:, 0], kpts[:, 1], c=c, s=ps, linewidths=0)
+
+
+def plot_matches(
+    axes,
+    kpts0: np.ndarray,
+    kpts1: np.ndarray,
+    color=None,
+    scores: Optional[np.ndarray] = None,
+    lw: float = 0.6,
+):
+    """Draw match lines between the first two axes (viz2d.py analog)."""
+    import matplotlib.patches as mpl_patches
+
+    ax0, ax1 = axes[0], axes[1]
+    fig = ax0.figure
+    kpts0 = np.asarray(kpts0)
+    kpts1 = np.asarray(kpts1)
+    if color is None:
+        color = cm_RdGn(scores) if scores is not None else [(0.1, 0.8, 0.2)] * len(kpts0)
+    for (x0, y0), (x1, y1), c in zip(kpts0, kpts1, color):
+        patch = mpl_patches.ConnectionPatch(
+            xyA=(x0, y0), coordsA=ax0.transData,
+            xyB=(x1, y1), coordsB=ax1.transData,
+            color=tuple(np.asarray(c).tolist()), linewidth=lw,
+        )
+        fig.add_artist(patch)
+
+
+def save_plot(fig, path: str) -> None:
+    fig.savefig(path, bbox_inches="tight", pad_inches=0)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
