@@ -400,8 +400,10 @@ def match_assignment(
     ships exact shapes).
     """
     scale = float(dim) ** 0.25
-    md0 = (_linear_maybe_batched(p["proj"], d0) / scale).astype(jnp.float32)
-    md1 = (_linear_maybe_batched(p["proj"], d1) / scale).astype(jnp.float32)
+    # operands stay in the activation dtype (the fp16 TRT engine computes
+    # this matmul in fp16 too); accumulation is fp32, softmax math fp32
+    md0 = _linear_maybe_batched(p["proj"], d0) / jnp.asarray(scale, d0.dtype)
+    md1 = _linear_maybe_batched(p["proj"], d1) / jnp.asarray(scale, d1.dtype)
     sim = jnp.einsum("bmd,bnd->bmn", md0, md1, preferred_element_type=jnp.float32)
     z0 = _linear_maybe_batched(p["match"], d0).astype(jnp.float32)  # (B, M, 1)
     z1 = _linear_maybe_batched(p["match"], d1).astype(jnp.float32)  # (B, N, 1)

@@ -182,18 +182,37 @@ class MatcherSession:
 
     # -- end-to-end ---------------------------------------------------------
 
-    def match_pair(self, image0: np.ndarray, image1: np.ndarray) -> Dict:
+    def match_pair(
+        self,
+        image0: np.ndarray,
+        image1: np.ndarray,
+        scales0: Optional[Tuple[float, float]] = None,
+        scales1: Optional[Tuple[float, float]] = None,
+    ) -> Dict:
         """Full pipeline on one image pair; returns host-side numpy results.
 
-        image0/image1: (H, W, 1) float32 grayscale in [0, 1].
+        image0/image1: (H, W, 1) float32 grayscale in [0, 1]. When the
+        images share a shape, both run through ONE batched SuperPoint call.
+        scales0/scales1: optional (sx, sy) resize scales; matched keypoint
+        coordinates are mapped back to the original resolution like the
+        reference (utils.py:95-99: (k + 0.5) / scale - 0.5).
         """
-        ext0 = self.extract(image0[None])
-        ext1 = self.extract(image1[None])
+        if image0.shape == image1.shape:
+            ext = self.extract(np.stack([image0, image1]))
+            ext0 = jax.tree.map(lambda a: a[0:1], ext)
+            ext1 = jax.tree.map(lambda a: a[1:2], ext)
+        else:
+            ext0 = self.extract(image0[None])
+            ext1 = self.extract(image1[None])
         out, matches = self.match_from_extractions(ext0, ext1)
         count = int(matches.count[0])
         idx = np.asarray(matches.indices[0, :count])
         kpts0 = np.asarray(ext0.keypoints[0])
         kpts1 = np.asarray(ext1.keypoints[0])
+        if scales0 is not None:
+            kpts0 = (kpts0 + 0.5) / np.asarray(scales0, np.float32) - 0.5
+        if scales1 is not None:
+            kpts1 = (kpts1 + 0.5) / np.asarray(scales1, np.float32) - 0.5
         return {
             "keypoints0": kpts0,
             "keypoints1": kpts1,

@@ -96,3 +96,21 @@ def test_parallel_extract_sharded_batch(rng, config):
     np.testing.assert_allclose(
         np.asarray(ext.scores[::-1]), np.asarray(ext_perm.scores), rtol=1e-5
     )
+
+
+def test_multihost_helpers_single_process(rng, config):
+    """Multi-host helpers degrade gracefully in a single process."""
+    from jax.sharding import PartitionSpec as P
+
+    from lightglue_tpu.parallel import multihost
+
+    multihost.initialize(num_processes=1)  # no-op
+    assert not multihost.is_multiprocess()
+    mesh = make_mesh(data=4, model=2)
+    arrs = multihost.global_batch_from_local(
+        [np.zeros((4, 8, 2), np.float32), np.zeros((4,), np.int32)],
+        mesh,
+        [P("data", None, None), P("data")],
+    )
+    assert arrs[0].shape == (4, 8, 2)
+    assert multihost.barrier(mesh) == 8
