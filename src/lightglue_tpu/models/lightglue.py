@@ -51,10 +51,13 @@ from lightglue_tpu.kernels.attention import (
     fused_mha,
 )
 
-# beyond this the bidirectional kernel's full S tile would overflow VMEM;
-# LightGlue buckets (<= 1024) always fit
-_BIDIR_MAX_N = 1024
 from lightglue_tpu.precision import DTypePolicy
+
+# beyond this the bidirectional kernel's full S tile would overflow VMEM;
+# LightGlue buckets (<= 1024) always fit. (Measured in-model: the shared-S
+# kernel beats two fused_mha calls by ~9% end-to-end despite its slower
+# cross-sublane axis-0 softmax, because it also removes the kv-swap gathers.)
+_BIDIR_MAX_N = 1024
 
 _NEG_INF = -1e30
 
