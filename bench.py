@@ -123,6 +123,50 @@ def bench_superpoint(precision: Precision, h: int = 480, w: int = 640):
     return _timed(make_fn, params, image)
 
 
+def bench_e2e(precision: Precision, h: int = 480, w: int = 640, n: int = 1024):
+    """Full pair pipeline: SuperPoint on both images (batched) + extraction +
+    LightGlue match — the demo_mono per-pair device work
+    (matches_demo_mono_0/console.txt: 30.21 + 45.29 ms on Orin)."""
+    config = PipelineConfig(precision=precision)
+    policy = policy_for(config.precision)
+    sp_params = weights.to_jax(weights.init_superpoint(0, config.superpoint))
+    lg_params = weights.to_jax(
+        weights.init_lightglue(0, config.lightglue), policy.param_dtype
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2, h, w, 1), dtype=np.float32))
+
+    def make_fn(iters):
+        @jax.jit
+        def run(sp_params, lg_params, images):
+            def body(carry, _):
+                img = images + carry * 1e-30
+                scores, desc = superpoint.forward(
+                    sp_params, img, config=config.superpoint, policy=policy
+                )
+                ext = extract_keypoints(scores, desc, config=config.superpoint)
+                out = lightglue.forward(
+                    lg_params,
+                    ext.keypoints_norm[0:1],
+                    ext.keypoints_norm[1:2],
+                    ext.descriptors[0:1].astype(policy.act_dtype),
+                    ext.descriptors[1:2].astype(policy.act_dtype),
+                    ext.count[0:1],
+                    ext.count[1:2],
+                    config=config.lightglue,
+                    policy=policy,
+                )
+                m = filter_matches(
+                    out.scores, config.match_threshold, config.max_matches
+                )
+                return out.scores[0, 0, 0], ()
+            return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+
+        return run
+
+    return _timed(make_fn, sp_params, lg_params, images)
+
+
 def main():
     backend = jax.default_backend()
     lg_bf16 = bench_lightglue(Precision.BF16)
@@ -140,9 +184,15 @@ def main():
         sp = bench_superpoint(Precision.BF16)
         extra["superpoint_bf16_480x640_extract_ms"] = round(sp, 3)
         extra["superpoint_vs_baseline"] = round(BASELINE_SP_FP32_MS / sp, 2)
-        extra["lightglue_bf16_batch8_per_pair_ms"] = round(
-            bench_lightglue(Precision.BF16, batch=8) / 8, 3
+        b8 = bench_lightglue(Precision.BF16, batch=8) / 8
+        extra["lightglue_bf16_batch8_per_pair_ms"] = round(b8, 3)
+        extra["lightglue_bf16_pairs_per_s_chip"] = round(1e3 / b8, 1)
+        extra["lightglue_int8_1x1024_ms"] = round(
+            bench_lightglue(Precision.INT8), 3
         )
+        e2e = bench_e2e(Precision.BF16)
+        extra["e2e_pair_bf16_ms"] = round(e2e, 3)
+        extra["e2e_vs_demo_baseline"] = round((30.21 + 45.29) / e2e, 2)
     except Exception as e:  # secondary metrics must not kill the headline
         extra["secondary_error"] = repr(e)[:200]
 

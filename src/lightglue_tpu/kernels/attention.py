@@ -57,6 +57,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot_precision(dtype) -> jax.lax.Precision:
+    """fp32 operands must request HIGHEST or the MXU silently degrades them
+    to bf16 passes (~1e-3 relative error) — the fp32 rung mirrors the
+    reference's fp32 no-plugin engine, which is exact fp32."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _attn_kernel(
     lens_ref,  # SMEM (B, 2) int32: [q_len, kv_len] per batch element
     q_ref,     # VMEM (1, 1, block_q, D)
@@ -120,6 +131,7 @@ def _attn_kernel(
             k_tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
         )
         s = _quant(s * scale)
 
@@ -142,6 +154,7 @@ def _attn_kernel(
             v_tile,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(v_tile.dtype),
         )
         acc_new = _quant(acc * correction + pv)
         return m_new, l_new, acc_new
@@ -358,6 +371,7 @@ def _fused_mha_kernel(
                 k_tile,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(q.dtype),
             )
             s = _quant(s * scale)
             if masked:
@@ -378,6 +392,7 @@ def _fused_mha_kernel(
                 v_tile,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(v_tile.dtype),
             )
             acc_new = _quant(acc * correction + pv)
             return m_new, l_new, acc_new
@@ -579,6 +594,7 @@ def _bidir_cross_kernel(
             qk1,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(qk0.dtype),
         )
         s = _quant(s * scale)
 
@@ -593,6 +609,7 @@ def _bidir_cross_kernel(
             v1_ref[0, h, :, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(v1_ref.dtype),
         )
 
         # direction 1 -> 0: softmax over rows i (keys in image 0); O1 via a
@@ -607,6 +624,7 @@ def _bidir_cross_kernel(
             v0_ref[0, h, :, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(v0_ref.dtype),
         )
 
         if masked:

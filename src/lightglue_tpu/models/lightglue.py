@@ -495,6 +495,17 @@ def forward(
       lengths0/lengths1: optional (B,) true keypoint counts (bucketed pads).
       tp_axis: shard_map mesh axis name for tensor parallelism, or None.
     """
+    with jax.default_matmul_precision(policy.matmul_precision):
+        return _forward_impl(
+            params, kpts0, kpts1, desc0, desc1, lengths0, lengths1,
+            config=config, policy=policy, tp_axis=tp_axis,
+        )
+
+
+def _forward_impl(
+    params, kpts0, kpts1, desc0, desc1, lengths0, lengths1,
+    *, config, policy, tp_axis,
+):
     # local head count: the 'model' axis shards whole heads
     num_heads = (
         _out_features(params["layers"]["self_attn"]["qkv"]) // config.head_dim
@@ -613,6 +624,16 @@ def forward_adaptive(
     ballast, exact semantics preserved). Each pair's final assignment uses
     the assignment head of the layer it exited at, like upstream.
     """
+    with jax.default_matmul_precision(policy.matmul_precision):
+        return _forward_adaptive_impl(
+            params, kpts0, kpts1, desc0, desc1, lengths0, lengths1,
+            config=config, policy=policy,
+        )
+
+
+def _forward_adaptive_impl(
+    params, kpts0, kpts1, desc0, desc1, lengths0, lengths1, *, config, policy
+):
     n_layers = config.n_layers
     num_heads = (
         _out_features(params["layers"]["self_attn"]["qkv"]) // config.head_dim

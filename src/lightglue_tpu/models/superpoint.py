@@ -72,6 +72,11 @@ def forward(
       scores: (B, H, W) NMS-suppressed detection score map (fp32).
       descriptors: (B, H/8, W/8, 256) L2-normalized dense descriptors (fp32).
     """
+    with jax.default_matmul_precision(policy.matmul_precision):
+        return _forward_impl(params, image, config=config, policy=policy)
+
+
+def _forward_impl(params, image, *, config, policy):
     x = image.astype(policy.act_dtype)
 
     # Shared encoder (reference superpoint.py:143-153).

@@ -51,6 +51,10 @@ class DTypePolicy:
     attn_out_dtype: jnp.dtype   # attention output dtype
     acc_dtype: jnp.dtype        # matmul accumulation (preferred_element_type)
     int8_weights: bool          # quantize linear weights to int8 + scales
+    # XLA matmul precision for non-kernel ops: 'highest' forces true fp32 on
+    # the MXU for the fp32-activation rungs (the default silently degrades
+    # fp32 matmuls to bf16 passes); 16-bit rungs keep 'default'.
+    matmul_precision: str = "default"
 
     @property
     def attn_fp32_stats(self) -> bool:
@@ -66,6 +70,7 @@ _POLICIES = {
         attn_out_dtype=jnp.float32,
         acc_dtype=jnp.float32,
         int8_weights=False,
+        matmul_precision="highest",
     ),
     # The analog of the reference fp32 engine *with* the plugin: attention
     # operands are downcast to 16-bit, statistics and outputs stay fp32
@@ -78,6 +83,7 @@ _POLICIES = {
         attn_out_dtype=jnp.float32,
         acc_dtype=jnp.float32,
         int8_weights=False,
+        matmul_precision="highest",
     ),
     # The analog of the fp16 engine: all-16-bit attention including softmax
     # statistics (reference attention_headdim_64_fp16in_fp16out.cu:556-580
