@@ -117,10 +117,11 @@ def init_lightglue(
                 for _ in range(config.n_layers)
             ]
         ),
-        "token": _stack(
-            [_linear_init(rng, e, 1) for _ in range(config.n_layers - 1)]
-        ),
     }
+    if config.n_layers > 1:
+        params["token"] = _stack(
+            [_linear_init(rng, e, 1) for _ in range(config.n_layers - 1)]
+        )
     if config.input_dim != config.descriptor_dim:
         params["input_proj"] = _linear_init(rng, config.input_dim, e)
     return params
