@@ -772,13 +772,23 @@ def reference_attention(
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    # HIGHEST: the oracle must be exact fp32 — on TPU the default would run
+    # these einsums as bf16 passes (~1e-3 error) and the *oracle* would be
+    # the imprecise side of every comparison (verified against float64).
+    s = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk", qf, kf, precision=jax.lax.Precision.HIGHEST
+        )
+        * scale
+    )
     if lengths is not None:
         nk = k.shape[2]
         kv_mask = jnp.arange(nk)[None, :] < lengths[:, 1][:, None]  # (B, Nk)
         s = jnp.where(kv_mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", p, vf, precision=jax.lax.Precision.HIGHEST
+    )
     if lengths is not None:
         nq = q.shape[2]
         q_mask = jnp.arange(nq)[None, :] < lengths[:, 0][:, None]  # (B, Nq)

@@ -349,11 +349,11 @@ def cross_block_fused(
     tp_axis=None,
     ffn_dim=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Both cross-attention directions in one attention call.
+    """Both cross-attention directions of a stacked [image0; image1] batch.
 
-    x stacks [image0; image1] on the batch axis; each query batch attends
-    the *other* image's keys/values (the roll by b), so direction 0->1 and
-    1->0 run as one batched kernel over 2B elements.
+    Projections run once over the 2B stack; the attention itself goes
+    through ``_cross_attend`` (the shared-S bidirectional kernel when the
+    sequences fit VMEM).
     """
     qk = _split_heads(_linear(p["qk"], x), num_heads)   # (2B, H, N, D)
     v = _split_heads(_linear(p["v"], x), num_heads)

@@ -225,6 +225,44 @@ class MatcherSession:
             "scores": np.asarray(out.scores[0]),
         }
 
+    def match_batch(
+        self, images0: np.ndarray, images1: np.ndarray
+    ) -> List[Dict]:
+        """Batched full pipeline over B pairs of same-shape images.
+
+        All B pairs run through one SuperPoint call (2B images stacked) and
+        one bucketed LightGlue call; the bucket is chosen by the largest
+        keypoint count in the batch (continuous cross-pair batching with
+        ragged counts handled by per-pair lengths).
+        """
+        b = images0.shape[0]
+        ext = self.extract(np.concatenate([images0, images1], axis=0))
+        ext0 = jax.tree.map(lambda a: a[:b], ext)
+        ext1 = jax.tree.map(lambda a: a[b:], ext)
+        out, matches = self.match_from_extractions(ext0, ext1)
+        counts = np.asarray(matches.count)
+        indices = np.asarray(matches.indices)
+        scores = np.asarray(matches.scores)
+        k0 = np.asarray(ext0.keypoints)
+        k1 = np.asarray(ext1.keypoints)
+        results = []
+        for i in range(b):
+            c = int(counts[i])
+            idx = indices[i, :c]
+            results.append(
+                {
+                    "keypoints0": k0[i],
+                    "keypoints1": k1[i],
+                    "num_keypoints0": int(ext0.count[i]),
+                    "num_keypoints1": int(ext1.count[i]),
+                    "matches": idx,
+                    "match_scores": scores[i, :c],
+                    "matched_kpts0": k0[i][idx[:, 0]] if c else np.zeros((0, 2)),
+                    "matched_kpts1": k1[i][idx[:, 1]] if c else np.zeros((0, 2)),
+                }
+            )
+        return results
+
     # -- warmup (the analog of engine build + CUDA-graph record) ------------
 
     def warmup(self, image_hw: Tuple[int, int], batch: int = 1) -> None:
