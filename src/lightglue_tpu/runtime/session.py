@@ -18,7 +18,7 @@ demo/demo_mono.cpp:255-266).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -158,3 +158,20 @@ def test_match_pair_is_deterministic(pipelines, image_pair):
     r2 = session.match_pair(img0, img1)
     np.testing.assert_array_equal(r1["matches"], r2["matches"])
     np.testing.assert_array_equal(r1["match_scores"], r2["match_scores"])
+
+
+def test_match_batch_consistent_with_match_pair(pipelines, image_pair):
+    """Batched pipeline == per-pair pipeline on the same data."""
+    session, *_ = pipelines
+    img0, img1 = image_pair
+    single = session.match_pair(img0, img1)
+    batched = session.match_batch(
+        np.stack([img0, img0]), np.stack([img1, img1])
+    )
+    assert len(batched) == 2
+    for res in batched:
+        assert res["num_keypoints0"] == single["num_keypoints0"]
+        np.testing.assert_array_equal(res["matches"], single["matches"])
+        np.testing.assert_allclose(
+            res["match_scores"], single["match_scores"], rtol=1e-5
+        )
