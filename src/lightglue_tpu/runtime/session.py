@@ -88,7 +88,16 @@ class MatcherSession:
 
     def extract(self, images: np.ndarray) -> Extraction:
         """images: (B, H, W, 1) float32 in [0,1], H/W multiples of 8."""
+        if images.ndim != 4 or images.shape[-1] != 1:
+            raise ValueError(
+                f"expected (B, H, W, 1) grayscale batch, got {images.shape}"
+            )
         b, h, w, _ = images.shape
+        if h % 8 or w % 8:
+            raise ValueError(
+                f"H/W must be multiples of the stride-8 encoder, got {h}x{w} "
+                "(pad with utils.image.pad_to_multiple)"
+            )
         return self._extract_fn(b, h, w)(self.sp_params, jnp.asarray(images))
 
     # -- matching -----------------------------------------------------------

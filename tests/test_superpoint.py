@@ -72,3 +72,32 @@ def test_bf16_forward_runs(rng, model):
     )
     assert np.isfinite(np.asarray(scores)).all()
     assert np.isfinite(np.asarray(desc)).all()
+
+
+def test_bf16_descriptors_not_degenerate(rng, model):
+    """Regression guard for the reference's known fp16 defect: its fp16
+    SuperPoint engine produced all-zero descriptors (steps.txt:81-82). The
+    bf16 rung here must keep valid unit-norm descriptors."""
+    sd, params = model
+    img = rng.random((1, 64, 64), dtype=np.float32)
+    _, desc = sp.forward(
+        params, jnp.asarray(img[..., None]), policy=policy_for(Precision.BF16)
+    )
+    norms = np.linalg.norm(np.asarray(desc), axis=-1)
+    assert (norms > 0.5).all(), "descriptors collapsed (reference fp16 bug)"
+
+
+def test_session_rejects_bad_shapes(rng):
+    from lightglue_tpu.config import PipelineConfig, SuperPointConfig
+    from lightglue_tpu.runtime.session import MatcherSession
+    import pytest as _pytest
+
+    session = MatcherSession(
+        config=PipelineConfig(
+            superpoint=SuperPointConfig(max_num_keypoints=64), buckets=(64,)
+        )
+    )
+    with _pytest.raises(ValueError, match="multiples"):
+        session.extract(np.zeros((1, 30, 64, 1), np.float32))
+    with _pytest.raises(ValueError, match="grayscale"):
+        session.extract(np.zeros((1, 32, 32, 3), np.float32))
