@@ -26,6 +26,16 @@ if str(SRC) not in sys.path:
     sys.path.insert(0, str(SRC))
 
 import jax
+
+# Persistent compile cache: repeated bench runs (and driver rounds) skip the
+# slow remote compiles — the engine-file behavior of the reference's workflow.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -302,9 +302,9 @@ def flash_attention(
 
 def _fused_mha_kernel(
     lens_ref,   # SMEM (B, 2) int32 [q_len, kv_len]
-    q_ref,      # VMEM (1, HPACK, block_q, D)
-    k_ref,      # VMEM (1, HPACK, Nk, D)
-    v_ref,      # VMEM (1, HPACK, Nk, D)
+    q_ref,      # VMEM (1, block_q, H*D) — heads-last, no transpose upstream
+    k_ref,      # VMEM (1, Nk, H*D)
+    v_ref,      # VMEM (1, Nk, H*D)
     freqs_ref,  # VMEM (1, 2, Nf, D) [cos; sin] (zeros when rope is off)
     o_ref,      # VMEM (1, block_q, H*D) — revisited across the hp grid dim
     *,
@@ -317,13 +317,18 @@ def _fused_mha_kernel(
     head_dim: int,
     hpack: int,
 ):
-    """Processes ``hpack`` heads per grid step so the merged-layout output
-    store lands on a 128-lane-aligned offset (hpack * head_dim == 128 for
-    LightGlue's D=64), which Mosaic requires for dynamic lane slices."""
-    block_q = q_ref.shape[2]
+    """Heads-last fused attention: inputs and output live in (N, H*D)
+    activation layout so no head split/merge transposes exist anywhere.
+    Each grid step owns ``hpack`` heads — hpack*head_dim == 128 — so the
+    dynamic lane loads/stores are 128-aligned as Mosaic requires; the two
+    64-lane head halves are then split statically inside the register tile.
+    """
+    block_q = q_ref.shape[1]
     b = pl.program_id(0)
     iq = pl.program_id(1)
     hp = pl.program_id(2)
+    lanes = hpack * head_dim
+    lane0 = pl.multiple_of(hp * lanes, lanes)
 
     low_precision_stats = stat_dtype != jnp.float32
 
@@ -351,8 +356,10 @@ def _fused_mha_kernel(
         num_kv = num_kv_blocks
         stripe_active = True
 
+    q_pack = q_ref[0, :, pl.ds(lane0, lanes)]  # (block_q, hpack*D)
+
     def one_head(h):
-        q = q_ref[0, h, :, :]
+        q = q_pack[:, h * head_dim : (h + 1) * head_dim]
         if rope:
             q = _rope(q, iq * block_q, block_q)
 
@@ -362,8 +369,12 @@ def _fused_mha_kernel(
 
         def body(j, carry):
             m_prev, l_prev, acc = carry
-            k_tile = k_ref[0, h, pl.ds(j * block_k, block_k), :]
-            v_tile = v_ref[0, h, pl.ds(j * block_k, block_k), :]
+            k_tile = k_ref[0, pl.ds(j * block_k, block_k), pl.ds(lane0, lanes)][
+                :, h * head_dim : (h + 1) * head_dim
+            ]
+            v_tile = v_ref[0, pl.ds(j * block_k, block_k), pl.ds(lane0, lanes)][
+                :, h * head_dim : (h + 1) * head_dim
+            ]
             if rope:
                 k_tile = _rope(k_tile, j * block_k, block_k)
             s = jax.lax.dot_general(
@@ -409,27 +420,32 @@ def _fused_mha_kernel(
             out = jnp.where(row < q_len, out, jnp.zeros_like(out))
         return out
 
-    lane0 = pl.multiple_of(hp * hpack * head_dim, hpack * head_dim)
-
     @pl.when(stripe_active)
     def _():
         packed = jnp.concatenate(
             [one_head(h) for h in range(hpack)], axis=-1
         )
-        o_ref[0, :, pl.ds(lane0, hpack * head_dim)] = packed.astype(o_ref.dtype)
+        o_ref[0, :, pl.ds(lane0, lanes)] = packed.astype(o_ref.dtype)
 
     if masked:
 
         @pl.when(jnp.logical_not(stripe_active))
         def _():
-            o_ref[0, :, pl.ds(lane0, hpack * head_dim)] = jnp.zeros(
-                (block_q, hpack * head_dim), dtype=o_ref.dtype
+            o_ref[0, :, pl.ds(lane0, lanes)] = jnp.zeros(
+                (block_q, lanes), dtype=o_ref.dtype
             )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "stat_dtype", "out_dtype", "block_q", "block_k"),
+    static_argnames=(
+        "num_heads",
+        "scale",
+        "stat_dtype",
+        "out_dtype",
+        "block_q",
+        "block_k",
+    ),
 )
 def fused_mha(
     q: jax.Array,
@@ -438,32 +454,36 @@ def fused_mha(
     freqs: Optional[jax.Array] = None,
     lengths: Optional[jax.Array] = None,
     *,
+    num_heads: int,
     scale: Optional[float] = None,
     stat_dtype=jnp.float32,
     out_dtype=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Model-path attention: heads-separated inputs, fused rotary embedding,
-    heads-merged output.
+    """Model-path attention in pure activation layout: (B, N, H*D) in and
+    out, fused rotary embedding, per-head computation inside the kernel.
 
     Differences from ``flash_attention`` (the generic kernel):
+    - no (B, H, N, D) staging anywhere: projections feed the kernel
+      directly and the output feeds the next linear directly — the head
+      split/merge relayouts (which cost more than the attention matmuls at
+      LightGlue sizes) do not exist;
     - optional in-kernel half-split RoPE on q and k (``freqs`` (B, 2, N, D)
-      [cos; sin], tiled per-half) — replaces a separate VPU pass over HBM;
-    - output is written directly in (B, Nq, H*D) layout, each (b, q-stripe)
-      output block revisited across the innermost head grid dimension —
-      eliminating the head-merge transpose that costs more than the whole
-      attention matmul at LightGlue sizes.
+      [cos; sin], tiled per-half);
+    - heads are processed ``hpack`` at a time (hpack*head_dim == 128) so all
+      dynamic lane accesses are 128-aligned.
 
     Args:
-      q: (B, H, Nq, D); k/v: (B, H, Nk, D); RoPE requires Nq == Nk == N
-        (self-attention).
+      q: (B, Nq, H*D); k/v: (B, Nk, H*D), head-major lanes. RoPE requires
+        Nq == Nk (self-attention).
 
     Returns:
       (B, Nq, H*D).
     """
-    batch, heads, nq, head_dim = q.shape
-    nk = k.shape[2]
+    batch, nq, feat = q.shape
+    nk = k.shape[1]
+    head_dim = feat // num_heads
     block_q = min(block_q, nq)
     block_k = min(block_k, nk)
     if nq % block_q or nk % block_k:
@@ -487,9 +507,9 @@ def fused_mha(
     num_q_blocks = nq // block_q
     num_kv_blocks = nk // block_k
 
-    # pack heads so each output store covers >= 128 lanes (aligned)
+    # pack heads so every dynamic lane access covers >= 128 aligned lanes
     hpack = max(1, 128 // head_dim)
-    while heads % hpack:
+    while num_heads % hpack:
         hpack //= 2
     kernel = functools.partial(
         _fused_mha_kernel,
@@ -503,9 +523,9 @@ def fused_mha(
         hpack=hpack,
     )
     nf = freqs.shape[2]
-    grid = (batch, num_q_blocks, heads // hpack)  # head-packs innermost:
+    grid = (batch, num_q_blocks, num_heads // hpack)  # head-packs innermost:
     # the (b, iq) output block stays resident across them
-    flops = 2 * 2 * batch * heads * nq * nk * head_dim
+    flops = 2 * 2 * batch * num_heads * nq * nk * head_dim
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -514,18 +534,18 @@ def fused_mha(
                 (batch, 2), lambda b, iq, h: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, hpack, block_q, head_dim),
-                lambda b, iq, h: (b, h, iq, 0),
+                (1, block_q, feat),
+                lambda b, iq, h: (b, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, hpack, nk, head_dim),
-                lambda b, iq, h: (b, h, 0, 0),
+                (1, nk, feat),
+                lambda b, iq, h: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, hpack, nk, head_dim),
-                lambda b, iq, h: (b, h, 0, 0),
+                (1, nk, feat),
+                lambda b, iq, h: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -535,19 +555,17 @@ def fused_mha(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, heads * head_dim),
+            (1, block_q, feat),
             lambda b, iq, h: (b, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, nq, heads * head_dim), out_dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((batch, nq, feat), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size + freqs.size)
             * q.dtype.itemsize
-            + batch * nq * heads * head_dim * jnp.dtype(out_dtype).itemsize,
-            transcendentals=batch * heads * nq * nk,
+            + batch * nq * feat * jnp.dtype(out_dtype).itemsize,
+            transcendentals=batch * num_heads * nq * nk,
         ),
         interpret=_interpret(),
     )(lengths, q, k, v, freqs)
@@ -555,10 +573,10 @@ def fused_mha(
 
 def _bidir_cross_kernel(
     lens_ref,   # SMEM (B, 2) int32 [n0, n1]
-    qk0_ref,    # VMEM (1, HPACK, N0, D)
-    qk1_ref,    # VMEM (1, HPACK, N1, D)
-    v0_ref,     # VMEM (1, HPACK, N0, D)
-    v1_ref,     # VMEM (1, HPACK, N1, D)
+    qk0_ref,    # VMEM (1, N0, H*D) — heads-last activation layout
+    qk1_ref,    # VMEM (1, N1, H*D)
+    v0_ref,     # VMEM (1, N0, H*D)
+    v1_ref,     # VMEM (1, N1, H*D)
     o0_ref,     # VMEM (1, N0, H*D)
     o1_ref,     # VMEM (1, N1, H*D)
     *,
@@ -570,8 +588,10 @@ def _bidir_cross_kernel(
 ):
     b = pl.program_id(0)
     hp = pl.program_id(1)
-    n0 = qk0_ref.shape[2]
-    n1 = qk1_ref.shape[2]
+    n0 = qk0_ref.shape[1]
+    n1 = qk1_ref.shape[1]
+    lanes = hpack * head_dim
+    lane0 = pl.multiple_of(hp * lanes, lanes)
     low_precision_stats = stat_dtype != jnp.float32
 
     def _quant(x):
@@ -583,9 +603,15 @@ def _bidir_cross_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
 
+    qk0_pack = qk0_ref[0, :, pl.ds(lane0, lanes)]
+    qk1_pack = qk1_ref[0, :, pl.ds(lane0, lanes)]
+    v0_pack = v0_ref[0, :, pl.ds(lane0, lanes)]
+    v1_pack = v1_ref[0, :, pl.ds(lane0, lanes)]
+
     def one_head(h):
-        qk0 = qk0_ref[0, h, :, :]
-        qk1 = qk1_ref[0, h, :, :]
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qk0 = qk0_pack[:, sl]
+        qk1 = qk1_pack[:, sl]
         # the shared-projection similarity matrix, computed ONCE — direction
         # 1->0 consumes its transpose (reference computes both directions
         # with two full attention calls, lightglue.py:188-205)
@@ -605,11 +631,11 @@ def _bidir_cross_kernel(
         l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))
         p0 = p0 / jnp.where(l0 == 0.0, 1.0, l0)
         o0 = jax.lax.dot_general(
-            p0.astype(v1_ref.dtype),
-            v1_ref[0, h, :, :],
+            p0.astype(v1_pack.dtype),
+            v1_pack[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(v1_ref.dtype),
+            precision=_dot_precision(v1_pack.dtype),
         )
 
         # direction 1 -> 0: softmax over rows i (keys in image 0); O1 via a
@@ -620,11 +646,11 @@ def _bidir_cross_kernel(
         l1 = _quant(jnp.sum(p1, axis=0, keepdims=True))
         p1 = p1 / jnp.where(l1 == 0.0, 1.0, l1)
         o1 = jax.lax.dot_general(
-            p1.astype(v0_ref.dtype),
-            v0_ref[0, h, :, :],
+            p1.astype(v0_pack.dtype),
+            v0_pack[:, sl],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_dot_precision(v0_ref.dtype),
+            precision=_dot_precision(v0_pack.dtype),
         )
 
         if masked:
@@ -635,17 +661,16 @@ def _bidir_cross_kernel(
         return o0, o1
 
     outs = [one_head(h) for h in range(hpack)]
-    lane0 = pl.multiple_of(hp * hpack * head_dim, hpack * head_dim)
-    o0_ref[0, :, pl.ds(lane0, hpack * head_dim)] = jnp.concatenate(
+    o0_ref[0, :, pl.ds(lane0, lanes)] = jnp.concatenate(
         [o[0] for o in outs], axis=-1
     ).astype(o0_ref.dtype)
-    o1_ref[0, :, pl.ds(lane0, hpack * head_dim)] = jnp.concatenate(
+    o1_ref[0, :, pl.ds(lane0, lanes)] = jnp.concatenate(
         [o[1] for o in outs], axis=-1
     ).astype(o1_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "stat_dtype", "out_dtype")
+    jax.jit, static_argnames=("num_heads", "scale", "stat_dtype", "out_dtype")
 )
 def bidirectional_cross_attention(
     qk0: jax.Array,
@@ -654,6 +679,7 @@ def bidirectional_cross_attention(
     v1: jax.Array,
     lengths: Optional[jax.Array] = None,
     *,
+    num_heads: int,
     scale: Optional[float] = None,
     stat_dtype=jnp.float32,
     out_dtype=None,
@@ -664,19 +690,21 @@ def bidirectional_cross_attention(
     scores(1->0) == scores(0->1)^T; this kernel materializes S once per head
     in VMEM and softmax-normalizes it along both axes — one QK^T matmul
     instead of two, and the transposed PV ride is a free contraction-axis
-    choice on the MXU. Requires whole sequences in VMEM (N <= ~1024 at D=64,
-    always true for LightGlue buckets); callers fall back to two
+    choice on the MXU. Inputs/outputs stay in (B, N, H*D) activation layout
+    (no head transposes). Requires whole sequences in VMEM (N <= ~1024 at
+    D=64, always true for LightGlue buckets); callers fall back to two
     ``fused_mha`` calls beyond that.
 
     Args:
-      qk0/v0: (B, H, N0, D); qk1/v1: (B, H, N1, D).
+      qk0/v0: (B, N0, H*D); qk1/v1: (B, N1, H*D).
       lengths: optional (B, 2) int32 [n0, n1].
 
     Returns:
       (O0 (B, N0, H*D), O1 (B, N1, H*D)).
     """
-    batch, heads, n0, head_dim = qk0.shape
-    n1 = qk1.shape[2]
+    batch, n0, feat = qk0.shape
+    n1 = qk1.shape[1]
+    head_dim = feat // num_heads
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
     out_dtype = out_dtype or qk0.dtype
@@ -687,7 +715,7 @@ def bidirectional_cross_attention(
     lengths = lengths.astype(jnp.int32)
 
     hpack = max(1, 128 // head_dim)
-    while heads % hpack:
+    while num_heads % hpack:
         hpack //= 2
     kernel = functools.partial(
         _bidir_cross_kernel,
@@ -697,56 +725,35 @@ def bidirectional_cross_attention(
         head_dim=head_dim,
         hpack=hpack,
     )
-    flops = 2 * batch * heads * n0 * n1 * head_dim * 3
+    flops = 2 * batch * num_heads * n0 * n1 * head_dim * 3
+    vspec0 = pl.BlockSpec(
+        (1, n0, feat), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    vspec1 = pl.BlockSpec(
+        (1, n1, feat), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         kernel,
-        grid=(batch, heads // hpack),
+        grid=(batch, num_heads // hpack),
         in_specs=[
             pl.BlockSpec(
                 (batch, 2), lambda b, h: (0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(
-                (1, hpack, n0, head_dim),
-                lambda b, h: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, hpack, n1, head_dim),
-                lambda b, h: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, hpack, n0, head_dim),
-                lambda b, h: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, hpack, n1, head_dim),
-                lambda b, h: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            vspec0,
+            vspec1,
+            vspec0,
+            vspec1,
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, n0, heads * head_dim),
-                lambda b, h: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, n1, heads * head_dim),
-                lambda b, h: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
+        out_specs=(vspec0, vspec1),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, n0, heads * head_dim), out_dtype),
-            jax.ShapeDtypeStruct((batch, n1, heads * head_dim), out_dtype),
+            jax.ShapeDtypeStruct((batch, n0, feat), out_dtype),
+            jax.ShapeDtypeStruct((batch, n1, feat), out_dtype),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(qk0.size + qk1.size + v0.size + v1.size)
             * qk0.dtype.itemsize,
-            transcendentals=2 * batch * heads * n0 * n1,
+            transcendentals=2 * batch * num_heads * n0 * n1,
         ),
         interpret=_interpret(),
     )(lengths, qk0, qk1, v0, v1)

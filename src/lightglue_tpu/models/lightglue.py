@@ -166,16 +166,18 @@ def _attend(
     v: jax.Array,
     lengths: Optional[jax.Array],
     policy: DTypePolicy,
+    num_heads: int,
     freqs: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """(B, H, N, D) q/k/v -> (B, N, H*D) via the fused kernel; optional
-    in-kernel rotary (freqs (B, 2, N, D))."""
+    """(B, N, H*D) q/k/v -> (B, N, H*D) via the fused kernel (no head
+    transposes anywhere); optional in-kernel rotary (freqs (B, 2, N, D))."""
     out = fused_mha(
         q.astype(policy.attn_in_dtype),
         k.astype(policy.attn_in_dtype),
         v.astype(policy.attn_in_dtype),
         freqs,
         lengths,
+        num_heads=num_heads,
         stat_dtype=policy.attn_stat_dtype,
         out_dtype=policy.attn_out_dtype,
     )
@@ -219,15 +221,13 @@ def self_block(
     # so a 'model'-axis sharding of the last dim is whole-head aligned.
     # ``freqs`` is (B, 2, N, D); the rotary embedding is applied to q and k
     # inside the attention kernel (half-split layout, weights pre-permuted).
+    # q/k/v stay in activation layout (B, N, H*D) end to end.
     qkv = (
         jnp.einsum("bni,cio->cbno", x, _weight(p["qkv"], x.dtype))
         + p["qkv"]["b"].astype(x.dtype)[:, None, None, :]
     )
-    q = _split_heads(qkv[0], num_heads)
-    k = _split_heads(qkv[1], num_heads)
-    v = _split_heads(qkv[2], num_heads)
     lens2 = None if lengths is None else jnp.stack([lengths, lengths], axis=-1)
-    context = _attend(q, k, v, lens2, policy, freqs)
+    context = _attend(qkv[0], qkv[1], qkv[2], lens2, policy, num_heads, freqs)
     message = _linear_rowshard(p["out"], context, tp_axis)
     return _ffn(p, x, message, tp_axis, ffn_dim)
 
@@ -247,22 +247,25 @@ def cross_block(
 
     One shared projection produces both the queries and keys of either side.
     """
-    qk0 = _split_heads(_linear(p["qk"], x0), num_heads)
-    qk1 = _split_heads(_linear(p["qk"], x1), num_heads)
-    v0 = _split_heads(_linear(p["v"], x0), num_heads)
-    v1 = _split_heads(_linear(p["v"], x1), num_heads)
-    m0, m1 = _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy)
+    qk0 = _linear(p["qk"], x0)
+    qk1 = _linear(p["qk"], x1)
+    v0 = _linear(p["v"], x0)
+    v1 = _linear(p["v"], x1)
+    m0, m1 = _cross_attend(
+        qk0, qk1, v0, v1, lengths0, lengths1, policy, num_heads
+    )
     m0 = _linear_rowshard(p["out"], m0, tp_axis)
     m1 = _linear_rowshard(p["out"], m1, tp_axis)
     return _ffn(p, x0, m0, tp_axis, ffn_dim), _ffn(p, x1, m1, tp_axis, ffn_dim)
 
 
-def _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy):
-    """Bidirectional cross-attention -> ((B, N0, H*D), (B, N1, H*D)).
+def _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy, num_heads):
+    """Bidirectional cross-attention over (B, N, H*D) activations
+    -> ((B, N0, H*D), (B, N1, H*D)).
 
     Uses the shared-S single-matmul kernel when both sequences fit VMEM,
     otherwise two streaming fused_mha calls."""
-    n0, n1 = qk0.shape[2], qk1.shape[2]
+    n0, n1 = qk0.shape[1], qk1.shape[1]
     dt = policy.attn_in_dtype
     if max(n0, n1) <= _BIDIR_MAX_N:
         lens = (
@@ -276,6 +279,7 @@ def _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy):
             v0.astype(dt),
             v1.astype(dt),
             lens,
+            num_heads=num_heads,
             stat_dtype=policy.attn_stat_dtype,
             out_dtype=policy.attn_out_dtype,
         )
@@ -285,8 +289,8 @@ def _cross_attend(qk0, qk1, v0, v1, lengths0, lengths1, policy):
     else:
         l01 = jnp.stack([lengths0, lengths1], axis=-1)
         l10 = jnp.stack([lengths1, lengths0], axis=-1)
-    m0 = _attend(qk0, qk1, v1, l01, policy)
-    m1 = _attend(qk1, qk0, v0, l10, policy)
+    m0 = _attend(qk0, qk1, v1, l01, policy, num_heads)
+    m1 = _attend(qk1, qk0, v0, l10, policy, num_heads)
     return m0, m1
 
 
@@ -355,8 +359,8 @@ def cross_block_fused(
     through ``_cross_attend`` (the shared-S bidirectional kernel when the
     sequences fit VMEM).
     """
-    qk = _split_heads(_linear(p["qk"], x), num_heads)   # (2B, H, N, D)
-    v = _split_heads(_linear(p["v"], x), num_heads)
+    qk = _linear(p["qk"], x)   # (2B, N, H*D)
+    v = _linear(p["v"], x)
     m0, m1 = _cross_attend(
         qk[:b],
         qk[b:],
@@ -365,6 +369,7 @@ def cross_block_fused(
         None if lens is None else lens[:b],
         None if lens is None else lens[b:],
         policy,
+        num_heads,
     )
     m = jnp.concatenate([m0, m1], axis=0)  # (2B, N, H*D)
     m = _linear_rowshard(p["out"], m, tp_axis)

@@ -117,23 +117,31 @@ def test_jit_and_grad_free_forward(rng):
     assert np.isfinite(float(val))
 
 
-def test_fused_mha_matches_flash_attention(rng):
-    """Model-path kernel (merged output + optional in-kernel RoPE) vs the
-    generic kernel + explicit merge."""
-    import jax
+def _merge(x):
+    """(B, H, N, D) -> (B, N, H*D) head-major."""
+    b, h, n, d = x.shape
+    return np.asarray(x).transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
-    q, k, v = _make_qkv(rng, 2, 4, 256, 256, 64, jnp.float32)
+
+def test_fused_mha_matches_flash_attention(rng):
+    """Model-path kernel (activation layout + optional in-kernel RoPE) vs
+    the generic kernel + explicit merge."""
     from lightglue_tpu.kernels.attention import fused_mha
 
-    out = fused_mha(q, k, v)
-    ref = flash_attention(q, k, v)
-    ref_merged = np.asarray(ref).transpose(0, 2, 1, 3).reshape(2, 256, 256)
-    np.testing.assert_allclose(np.asarray(out), ref_merged, atol=1e-5, rtol=1e-5)
+    q, k, v = _make_qkv(rng, 2, 4, 256, 256, 64, jnp.float32)
+    out = fused_mha(
+        jnp.asarray(_merge(q)), jnp.asarray(_merge(k)), jnp.asarray(_merge(v)),
+        num_heads=4,
+    )
+    ref = _merge(flash_attention(q, k, v))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
 
     lens = jnp.array([[200, 150], [256, 256]], jnp.int32)
-    out_m = fused_mha(q, k, v, None, lens)
-    ref_m = flash_attention(q, k, v, lens)
-    ref_m = np.asarray(ref_m).transpose(0, 2, 1, 3).reshape(2, 256, 256)
+    out_m = fused_mha(
+        jnp.asarray(_merge(q)), jnp.asarray(_merge(k)), jnp.asarray(_merge(v)),
+        None, lens, num_heads=4,
+    )
+    ref_m = _merge(flash_attention(q, k, v, lens))
     np.testing.assert_allclose(np.asarray(out_m), ref_m, atol=1e-5, rtol=1e-5)
 
 
@@ -145,12 +153,14 @@ def test_fused_mha_rope_matches_external_rotary(rng):
     freqs = jnp.asarray(
         rng.uniform(-1, 1, (1, 2, 128, 64)).astype(np.float32)
     )
-    out = fused_mha(q, k, v, freqs)
+    out = fused_mha(
+        jnp.asarray(_merge(q)), jnp.asarray(_merge(k)), jnp.asarray(_merge(v)),
+        freqs, num_heads=4,
+    )
     q_r = apply_rotary(freqs, q)
     k_r = apply_rotary(freqs, k)
-    ref = flash_attention(q_r, k_r, v)
-    ref_merged = np.asarray(ref).transpose(0, 2, 1, 3).reshape(1, 128, 256)
-    np.testing.assert_allclose(np.asarray(out), ref_merged, atol=1e-5, rtol=1e-5)
+    ref = _merge(flash_attention(q_r, k_r, v))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
 
 
 def test_bidirectional_cross_matches_two_attentions(rng):
@@ -162,40 +172,38 @@ def test_bidirectional_cross_matches_two_attentions(rng):
     qk1 = jnp.asarray(rng.standard_normal((2, 4, 192, 64), dtype=np.float32))
     v0 = jnp.asarray(rng.standard_normal((2, 4, 256, 64), dtype=np.float32))
     v1 = jnp.asarray(rng.standard_normal((2, 4, 192, 64), dtype=np.float32))
-    o0, o1 = bidirectional_cross_attention(qk0, qk1, v0, v1)
-    r0 = reference_attention(qk0, qk1, v1)
-    r1 = reference_attention(qk1, qk0, v0)
-    np.testing.assert_allclose(
-        np.asarray(o0),
-        np.asarray(r0).transpose(0, 2, 1, 3).reshape(2, 256, 256),
-        atol=1e-5, rtol=1e-5,
+    o0, o1 = bidirectional_cross_attention(
+        jnp.asarray(_merge(qk0)), jnp.asarray(_merge(qk1)),
+        jnp.asarray(_merge(v0)), jnp.asarray(_merge(v1)),
+        num_heads=4,
     )
-    np.testing.assert_allclose(
-        np.asarray(o1),
-        np.asarray(r1).transpose(0, 2, 1, 3).reshape(2, 192, 256),
-        atol=1e-5, rtol=1e-5,
-    )
+    r0 = _merge(reference_attention(qk0, qk1, v1))
+    r1 = _merge(reference_attention(qk1, qk0, v0))
+    np.testing.assert_allclose(np.asarray(o0), r0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), r1, atol=1e-5, rtol=1e-5)
 
     # masked: ragged per-pair lengths
     lens = jnp.array([[200, 100], [256, 192]], jnp.int32)
-    o0m, o1m = bidirectional_cross_attention(qk0, qk1, v0, v1, lens)
+    o0m, o1m = bidirectional_cross_attention(
+        jnp.asarray(_merge(qk0)), jnp.asarray(_merge(qk1)),
+        jnp.asarray(_merge(v0)), jnp.asarray(_merge(v1)),
+        lens, num_heads=4,
+    )
     for bi in range(2):
         n0, n1 = int(lens[bi, 0]), int(lens[bi, 1])
-        rr0 = reference_attention(
-            qk0[bi : bi + 1, :, :n0], qk1[bi : bi + 1, :, :n1], v1[bi : bi + 1, :, :n1]
-        )
+        rr0 = _merge(reference_attention(
+            qk0[bi : bi + 1, :, :n0], qk1[bi : bi + 1, :, :n1],
+            v1[bi : bi + 1, :, :n1],
+        ))[0]
         np.testing.assert_allclose(
-            np.asarray(o0m[bi, :n0]),
-            np.asarray(rr0).transpose(0, 2, 1, 3).reshape(n0, 256),
-            atol=1e-5, rtol=1e-5,
+            np.asarray(o0m[bi, :n0]), rr0, atol=1e-5, rtol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(o0m[bi, n0:]), 0.0)
-        rr1 = reference_attention(
-            qk1[bi : bi + 1, :, :n1], qk0[bi : bi + 1, :, :n0], v0[bi : bi + 1, :, :n0]
-        )
+        rr1 = _merge(reference_attention(
+            qk1[bi : bi + 1, :, :n1], qk0[bi : bi + 1, :, :n0],
+            v0[bi : bi + 1, :, :n0],
+        ))[0]
         np.testing.assert_allclose(
-            np.asarray(o1m[bi, :n1]),
-            np.asarray(rr1).transpose(0, 2, 1, 3).reshape(n1, 256),
-            atol=1e-5, rtol=1e-5,
+            np.asarray(o1m[bi, :n1]), rr1, atol=1e-5, rtol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(o1m[bi, n1:]), 0.0)
