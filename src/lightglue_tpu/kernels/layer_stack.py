@@ -1,0 +1,373 @@
+"""Whole-transformer-stack megakernel: all LightGlue layers in ONE pallas_call.
+
+Motivation (measured on v5e, docs/PERFORMANCE.md): with per-op kernels the
+9-layer stack runs at ~63 TFLOPs — the attention kernels themselves sustain
+~120, but every projection/FFN/LayerNorm between them is a separate XLA op
+whose activations round-trip HBM (~30-50 MB per layer) and whose launch
+boundaries serialize. This kernel keeps the pair's activations resident in
+VMEM across ALL layers and streams only the per-layer weights (~2.6 MB bf16)
+from HBM, which Pallas double-buffers against compute automatically.
+
+Grid = (pairs, layers): the activation block is revisited across the whole
+inner layer loop (one HBM fetch + one writeback per pair, total), while the
+weight BlockSpecs walk the stacked-layer axis. This also fixes batch scaling:
+pairs stream through a weight-resident pipeline instead of multiplying
+HBM-bound inter-op traffic.
+
+The layer math replicates models/lightglue.py's blocks exactly (reference
+lightglue_pytorch_with_plugin/lightglue.py:118-226 — SelfBlock with fused
+qkv + rotary + FFN, CrossBlock with shared to_qk bidirectional attention):
+- self-attention per image with in-kernel half-split RoPE (weights carry the
+  load-time de-interleave permutation, runtime/weights.py:rope_permutation);
+- bidirectional cross-attention computing the shared similarity matrix ONCE
+  per head and softmax-normalizing it along both axes;
+- FFN cat(x, message) -> 512 -> LayerNorm(fp32) -> GELU(exact, fp32) -> 256
+  with residual;
+- variable-length masking identical to kernels/attention.py: padded KV
+  columns -inf before softmax, padded Q rows zeroed after.
+
+Softmax statistics honor the precision ladder's ``stat_dtype`` by
+re-quantization, same as kernels/attention.py (the analog of the reference's
+fp16 row stats, attention_headdim_64_fp16in_fp16out.cu:556-644).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+# VMEM budget: activations (2, N, E) + qkv (2N, 3E) + one fp32 S (N, N) +
+# double-buffered bf16 layer weights. N=1024 at E=256 fits a v5e core.
+MAX_SEQ = 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _erf(x):
+    """fp32 erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 — far
+    below bf16 resolution). Mosaic has no erf primitive."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(xf):
+    """Exact (erf-based) GELU in fp32 (reference uses torch.nn.GELU default
+    = erf, not the tanh approximation)."""
+    return 0.5 * xf * (1.0 + _erf(xf * (1.0 / math.sqrt(2.0))))
+
+
+def _layer_stack_kernel(
+    lens_ref,   # SMEM (B, 2) int32 true lengths per pair
+    x0_ref,     # VMEM (1, 2, N, E) input descriptors [img0; img1]
+    f_ref,      # VMEM (1, 2, 2, N, D) fp32 rope freqs [img][cos;sin]
+    # self-attention weights (leading dim = 1 layer block)
+    sq_w, sq_b, so_w, so_b, sf1_w, sf1_b, sln_g, sln_b, sf2_w, sf2_b,
+    # cross-attention weights
+    cqk_w, cqk_b, cv_w, cv_b, co_w, co_b, cf1_w, cf1_b, cln_g, cln_b,
+    cf2_w, cf2_b,
+    out_ref,    # VMEM (1, 2, N, E) — revisited across the layer grid dim
+    *,
+    scale: float,
+    num_heads: int,
+    head_dim: int,
+    stat_dtype,
+    masked: bool,
+):
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+    n = x0_ref.shape[2]
+    e = x0_ref.shape[3]
+    half = head_dim // 2
+
+    @pl.when(l == 0)
+    def _():
+        out_ref[...] = x0_ref[...]
+
+    x = out_ref[0]                      # (2, N, E)
+    dt = x.dtype
+    x2d = x.reshape(2 * n, e)           # images stacked on rows
+
+    low_precision_stats = stat_dtype != jnp.float32
+
+    def _quant(v):
+        return (
+            v.astype(stat_dtype).astype(jnp.float32)
+            if low_precision_stats
+            else v
+        )
+
+    if masked:
+        lens = (lens_ref[t, 0], lens_ref[t, 1])
+        cols_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        out_rows = jax.lax.broadcasted_iota(jnp.int32, (n, head_dim), 0)
+
+    def _linear(v, w_ref, b_ref):
+        """v @ w + b with fp32 accumulation, result in the activation dtype.
+        w_ref blocks are (1, in, out); b_ref blocks (1, 1, out)."""
+        y = _dot(v, w_ref[0].astype(dt)).astype(dt)
+        return y + b_ref[0].astype(dt)
+
+    def _rope(v, img):
+        cos = f_ref[0, img, 0].astype(dt)   # (N, D) tiled per-half freqs
+        sin = f_ref[0, img, 1].astype(dt)
+        rot = jnp.concatenate([-v[:, half:], v[:, :half]], axis=-1)
+        return v * cos + rot * sin
+
+    def _ffn(xin, message, w1_ref, b1_ref, g_ref, bn_ref, w2_ref, b2_ref):
+        h = jnp.concatenate([xin, message], axis=-1)     # (2N, 2E)
+        h = _linear(h, w1_ref, b1_ref)
+        hf = h.astype(jnp.float32)
+        mean = jnp.mean(hf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True) - jnp.square(
+            mean
+        )
+        normed = (hf - mean) * jax.lax.rsqrt(var + 1e-5)
+        normed = normed * g_ref[0].astype(jnp.float32) + bn_ref[0].astype(
+            jnp.float32
+        )
+        act = _gelu_exact(normed).astype(dt)
+        return xin + _linear(act, w2_ref, b2_ref)
+
+    # ---- self-attention block (reference lightglue.py:118-152) ----------
+    qkv_w = sq_w[0]                      # (3, E, E) component-major
+    q_all = _dot(x2d, qkv_w[0].astype(dt)).astype(dt) + sq_b[0, 0:1, :].astype(dt)
+    k_all = _dot(x2d, qkv_w[1].astype(dt)).astype(dt) + sq_b[0, 1:2, :].astype(dt)
+    v_all = _dot(x2d, qkv_w[2].astype(dt)).astype(dt) + sq_b[0, 2:3, :].astype(dt)
+
+    ctx_imgs = []
+    for img in range(2):
+        r0 = img * n
+        q_img = q_all[r0 : r0 + n, :]
+        k_img = k_all[r0 : r0 + n, :]
+        v_img = v_all[r0 : r0 + n, :]
+        heads = []
+        for h in range(num_heads):
+            c0 = h * head_dim
+            q_h = _rope(q_img[:, c0 : c0 + head_dim], img)
+            k_h = _rope(k_img[:, c0 : c0 + head_dim], img)
+            v_h = v_img[:, c0 : c0 + head_dim]
+            s = _quant(_dot(q_h, k_h, contract=((1,), (1,))) * scale)
+            if masked:
+                s = jnp.where(cols_iota < lens[img], s, _NEG_INF)
+            m = _quant(jnp.max(s, axis=1, keepdims=True))
+            p = _quant(jnp.exp(s - m))
+            lsum = _quant(jnp.sum(p, axis=1, keepdims=True))
+            o = _dot(p.astype(dt), v_h) / jnp.where(lsum == 0.0, 1.0, lsum)
+            if masked:
+                o = jnp.where(out_rows < lens[img], o, 0.0)
+            heads.append(o.astype(dt))
+        ctx_imgs.append(jnp.concatenate(heads, axis=-1))  # (N, E)
+    ctx = jnp.concatenate(ctx_imgs, axis=0)               # (2N, E)
+    message = _linear(ctx, so_w, so_b)
+    x2d = _ffn(x2d, message, sf1_w, sf1_b, sln_g, sln_b, sf2_w, sf2_b)
+
+    # ---- cross-attention block (reference lightglue.py:168-205) ----------
+    qk_all = _linear(x2d, cqk_w, cqk_b)
+    v_all = _linear(x2d, cv_w, cv_b)
+    m0_heads, m1_heads = [], []
+    for h in range(num_heads):
+        c0 = h * head_dim
+        qk0 = qk_all[:n, c0 : c0 + head_dim]
+        qk1 = qk_all[n:, c0 : c0 + head_dim]
+        v0 = v_all[:n, c0 : c0 + head_dim]
+        v1 = v_all[n:, c0 : c0 + head_dim]
+        # shared similarity matrix, computed once; direction 1->0 rides its
+        # transpose as a free contraction-axis choice on the MXU
+        s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)
+
+        s_row = jnp.where(cols_iota < lens[1], s, _NEG_INF) if masked else s
+        m0s = _quant(jnp.max(s_row, axis=1, keepdims=True))
+        p0 = _quant(jnp.exp(s_row - m0s))
+        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))
+        p0 = p0 / jnp.where(l0 == 0.0, 1.0, l0)
+        o0 = _dot(p0.astype(dt), v1)
+
+        s_col = jnp.where(rows_iota < lens[0], s, _NEG_INF) if masked else s
+        m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
+        p1 = _quant(jnp.exp(s_col - m1s))
+        l1 = _quant(jnp.sum(p1, axis=0, keepdims=True))
+        p1 = p1 / jnp.where(l1 == 0.0, 1.0, l1)
+        o1 = _dot(p1.astype(dt), v0, contract=((0,), (0,)))
+
+        if masked:
+            o0 = jnp.where(out_rows < lens[0], o0, 0.0)
+            o1 = jnp.where(out_rows < lens[1], o1, 0.0)
+        m0_heads.append(o0.astype(dt))
+        m1_heads.append(o1.astype(dt))
+    ctx = jnp.concatenate(
+        [
+            jnp.concatenate(m0_heads, axis=-1),
+            jnp.concatenate(m1_heads, axis=-1),
+        ],
+        axis=0,
+    )
+    message = _linear(ctx, co_w, co_b)
+    x2d = _ffn(x2d, message, cf1_w, cf1_b, cln_g, cln_b, cf2_w, cf2_b)
+
+    out_ref[...] = x2d.reshape(1, 2, n, e)
+
+
+def supports(layers_params, n0: int, n1: int, act_dtype, tp_axis) -> bool:
+    """Gate: the megakernel handles the fixed-depth, equal-bucket, non-TP,
+    non-int8 path (everything else falls back to the per-block kernels)."""
+    if tp_axis is not None or n0 != n1:
+        return False
+    if n0 > MAX_SEQ or n0 % 128:
+        return False
+    if "w_q" in layers_params["self_attn"]["qkv"]:  # int8 weight-only rung
+        return False
+    return jnp.dtype(act_dtype) == jnp.bfloat16
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "head_dim", "scale", "stat_dtype")
+)
+def transformer_stack(
+    layers_params,
+    d0: jax.Array,
+    d1: jax.Array,
+    freqs0: jax.Array,
+    freqs1: jax.Array,
+    lengths0: Optional[jax.Array],
+    lengths1: Optional[jax.Array],
+    *,
+    num_heads: int,
+    head_dim: int,
+    scale: Optional[float] = None,
+    stat_dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run all stacked LightGlue layers in one kernel.
+
+    Args:
+      layers_params: the ``params["layers"]`` pytree (leading layer axis L).
+      d0/d1: (B, N, E) descriptors for both images (equal N).
+      freqs0/freqs1: (B, 2, N, D) fp32 rope [cos; sin] (tiled per-half).
+      lengths0/lengths1: optional (B,) true keypoint counts.
+
+    Returns:
+      (d0', d1'): (B, N, E) after all layers.
+    """
+    b, n, e = d0.shape
+    n_layers = layers_params["self_attn"]["out"]["w"].shape[0]
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    stat_dtype = jnp.dtype(stat_dtype)
+
+    masked = lengths0 is not None
+    if lengths0 is None:
+        lens = jnp.zeros((b, 2), jnp.int32)
+    else:
+        lens = jnp.stack(
+            [lengths0.astype(jnp.int32), lengths1.astype(jnp.int32)], axis=-1
+        )
+
+    x = jnp.stack([d0, d1], axis=1)                 # (B, 2, N, E)
+    freqs = jnp.stack([freqs0, freqs1], axis=1)     # (B, 2, 2, N, D)
+    freqs = freqs.astype(jnp.float32)
+
+    sp = layers_params["self_attn"]
+    cp = layers_params["cross_attn"]
+    weight_args = (
+        sp["qkv"]["w"], sp["qkv"]["b"],
+        sp["out"]["w"], sp["out"]["b"][:, None, :],
+        sp["ffn1"]["w"], sp["ffn1"]["b"][:, None, :],
+        sp["ln_g"][:, None, :], sp["ln_b"][:, None, :],
+        sp["ffn2"]["w"], sp["ffn2"]["b"][:, None, :],
+        cp["qk"]["w"], cp["qk"]["b"][:, None, :],
+        cp["v"]["w"], cp["v"]["b"][:, None, :],
+        cp["out"]["w"], cp["out"]["b"][:, None, :],
+        cp["ffn1"]["w"], cp["ffn1"]["b"][:, None, :],
+        cp["ln_g"][:, None, :], cp["ln_b"][:, None, :],
+        cp["ffn2"]["w"], cp["ffn2"]["b"][:, None, :],
+    )
+
+    def _wspec(a):
+        blk = (1,) + a.shape[1:]
+        return pl.BlockSpec(
+            blk,
+            lambda t, l: (l,) + (0,) * (a.ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _layer_stack_kernel,
+        scale=float(scale),
+        num_heads=num_heads,
+        head_dim=head_dim,
+        stat_dtype=stat_dtype,
+        masked=masked,
+    )
+
+    # per pair per layer: 7 ExE projections + 2 FFNs + self/cross attention
+    proj_flops = (
+        2 * (2 * n) * e * e * 7
+        + 2 * (2 * (2 * n) * (2 * e) * (2 * e) + 2 * (2 * n) * (2 * e) * e)
+    )
+    attn_flops = 2 * num_heads * n * n * head_dim * (2 * 2 + 3)
+    flops = b * n_layers * (proj_flops + attn_flops)
+    weight_bytes = sum(a.size * a.dtype.itemsize for a in weight_args)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_layers),
+        in_specs=[
+            pl.BlockSpec(
+                (b, 2), lambda t, l: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 2, n, e),
+                lambda t, l: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 2, n, head_dim),
+                lambda t, l: (t, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [_wspec(a) for a in weight_args],
+        out_specs=pl.BlockSpec(
+            (1, 2, n, e), lambda t, l: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2, n, e), d0.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + b * weight_bytes
+            + freqs.size * 4,
+            transcendentals=b * n_layers * 4 * num_heads * n * n,
+        ),
+        # the default 16 MB scoped-vmem cap is too small for the resident
+        # activations + double-buffered weights + one fp32 S tile (~23 MB);
+        # v5e has 64 MB of physical VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(lens, x, freqs, *weight_args)
+    return out[:, 0], out[:, 1]

@@ -50,6 +50,7 @@ from lightglue_tpu.kernels.attention import (
     flash_attention,
     fused_mha,
 )
+from lightglue_tpu.kernels import layer_stack
 
 from lightglue_tpu.precision import DTypePolicy
 
@@ -525,24 +526,44 @@ def _forward_impl(
     freqs0 = posenc(params["posenc"], kpts0.astype(jnp.float32), config.head_dim)
     freqs1 = posenc(params["posenc"], kpts1.astype(jnp.float32), config.head_dim)
 
-    def body(carry, layer_params):
-        c0, c1 = carry
-        c0, c1 = transformer_layer(
-            layer_params,
-            c0,
-            c1,
+    if layer_stack.supports(
+        params["layers"], d0.shape[1], d1.shape[1], d0.dtype, tp_axis
+    ):
+        # the whole 9-layer stack as ONE megakernel: activations stay
+        # VMEM-resident across layers, per-layer weights stream from HBM
+        # (kernels/layer_stack.py — measured ~1.6x over per-block kernels)
+        d0, d1 = layer_stack.transformer_stack(
+            params["layers"],
+            d0,
+            d1,
             freqs0,
             freqs1,
             lengths0,
             lengths1,
-            num_heads,
-            policy,
-            tp_axis,
-            ffn_dim,
+            num_heads=num_heads,
+            head_dim=config.head_dim,
+            stat_dtype=policy.attn_stat_dtype,
         )
-        return (c0, c1), None
+    else:
 
-    (d0, d1), _ = jax.lax.scan(body, (d0, d1), params["layers"])
+        def body(carry, layer_params):
+            c0, c1 = carry
+            c0, c1 = transformer_layer(
+                layer_params,
+                c0,
+                c1,
+                freqs0,
+                freqs1,
+                lengths0,
+                lengths1,
+                num_heads,
+                policy,
+                tp_axis,
+                ffn_dim,
+            )
+            return (c0, c1), None
+
+        (d0, d1), _ = jax.lax.scan(body, (d0, d1), params["layers"])
 
     mask0, mask1 = _masks_from_lengths(
         lengths0, lengths1, kpts0.shape[1], kpts1.shape[1]
