@@ -84,19 +84,15 @@ def _layer_stack_kernel(
     lens_ref,   # SMEM (B, 2) int32 true lengths per pair
     x0_ref,     # VMEM (1, 2, N, E) input descriptors [img0; img1]
     f_ref,      # VMEM (1, 2, 2, N, D) fp32 rope freqs [img][cos;sin]
-    # self-attention weights (leading dim = 1 layer block)
-    sq_w, sq_b, so_w, so_b, sf1_w, sf1_b, sln_g, sln_b, sf2_w, sf2_b,
-    # cross-attention weights
-    cqk_w, cqk_b, cv_w, cv_b, co_w, co_b, cf1_w, cf1_b, cln_g, cln_b,
-    cf2_w, cf2_b,
-    out_ref,    # VMEM (1, 2, N, E) — revisited across the layer grid dim
-    *,
+    *rest,      # weight refs (see _weight_args) then the output ref
     scale: float,
     num_heads: int,
     head_dim: int,
     stat_dtype,
     masked: bool,
+    quantized: bool,
 ):
+    wrefs, out_ref = rest[:-1], rest[-1]
     t = pl.program_id(0)
     l = pl.program_id(1)
     n = x0_ref.shape[2]
@@ -110,6 +106,41 @@ def _layer_stack_kernel(
     x = out_ref[0]                      # (2, N, E)
     dt = x.dtype
     x2d = x.reshape(2 * n, e)           # images stacked on rows
+
+    # walk the flat ref list in the exact order _weight_args produced it;
+    # int8 weights carry a per-output-channel fp32 scale ref after w_q
+    # (the TRT-"best"-engine analog — dequant happens in VMEM, HBM sees
+    # half the weight bytes)
+    cursor = [0]
+
+    def _take():
+        r = wrefs[cursor[0]]
+        cursor[0] += 1
+        return r
+
+    def _take_linear():
+        if quantized:
+            wq, sc = _take(), _take()
+            b = _take()
+            return (
+                lambda: (wq[0].astype(jnp.float32) * sc[0]).astype(dt),
+                b,
+            )
+        w = _take()
+        b = _take()
+        return (lambda: w[0].astype(dt)), b
+
+    sqkv_w, sqkv_b = _take_linear()
+    sout = _take_linear()
+    sffn1 = _take_linear()
+    sln_g, sln_b = _take(), _take()
+    sffn2 = _take_linear()
+    cqk = _take_linear()
+    cv = _take_linear()
+    cout = _take_linear()
+    cffn1 = _take_linear()
+    cln_g, cln_b = _take(), _take()
+    cffn2 = _take_linear()
 
     low_precision_stats = stat_dtype != jnp.float32
 
@@ -126,10 +157,10 @@ def _layer_stack_kernel(
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         out_rows = jax.lax.broadcasted_iota(jnp.int32, (n, head_dim), 0)
 
-    def _linear(v, w_ref, b_ref):
-        """v @ w + b with fp32 accumulation, result in the activation dtype.
-        w_ref blocks are (1, in, out); b_ref blocks (1, 1, out)."""
-        y = _dot(v, w_ref[0].astype(dt)).astype(dt)
+    def _linear(v, lin):
+        """v @ w + b with fp32 accumulation, result in the activation dtype."""
+        wfn, b_ref = lin
+        y = _dot(v, wfn()).astype(dt)
         return y + b_ref[0].astype(dt)
 
     def _rope(v, img):
@@ -138,9 +169,9 @@ def _layer_stack_kernel(
         rot = jnp.concatenate([-v[:, half:], v[:, :half]], axis=-1)
         return v * cos + rot * sin
 
-    def _ffn(xin, message, w1_ref, b1_ref, g_ref, bn_ref, w2_ref, b2_ref):
+    def _ffn(xin, message, lin1, g_ref, bn_ref, lin2):
         h = jnp.concatenate([xin, message], axis=-1)     # (2N, 2E)
-        h = _linear(h, w1_ref, b1_ref)
+        h = _linear(h, lin1)
         hf = h.astype(jnp.float32)
         mean = jnp.mean(hf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True) - jnp.square(
@@ -151,13 +182,13 @@ def _layer_stack_kernel(
             jnp.float32
         )
         act = _gelu_exact(normed).astype(dt)
-        return xin + _linear(act, w2_ref, b2_ref)
+        return xin + _linear(act, lin2)
 
     # ---- self-attention block (reference lightglue.py:118-152) ----------
-    qkv_w = sq_w[0]                      # (3, E, E) component-major
-    q_all = _dot(x2d, qkv_w[0].astype(dt)).astype(dt) + sq_b[0, 0:1, :].astype(dt)
-    k_all = _dot(x2d, qkv_w[1].astype(dt)).astype(dt) + sq_b[0, 1:2, :].astype(dt)
-    v_all = _dot(x2d, qkv_w[2].astype(dt)).astype(dt) + sq_b[0, 2:3, :].astype(dt)
+    qkv_w = sqkv_w()                     # (3, E, E) component-major, dt
+    q_all = _dot(x2d, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
+    k_all = _dot(x2d, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
+    v_all = _dot(x2d, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
 
     ctx_imgs = []
     for img in range(2):
@@ -183,12 +214,12 @@ def _layer_stack_kernel(
             heads.append(o.astype(dt))
         ctx_imgs.append(jnp.concatenate(heads, axis=-1))  # (N, E)
     ctx = jnp.concatenate(ctx_imgs, axis=0)               # (2N, E)
-    message = _linear(ctx, so_w, so_b)
-    x2d = _ffn(x2d, message, sf1_w, sf1_b, sln_g, sln_b, sf2_w, sf2_b)
+    message = _linear(ctx, sout)
+    x2d = _ffn(x2d, message, sffn1, sln_g, sln_b, sffn2)
 
     # ---- cross-attention block (reference lightglue.py:168-205) ----------
-    qk_all = _linear(x2d, cqk_w, cqk_b)
-    v_all = _linear(x2d, cv_w, cv_b)
+    qk_all = _linear(x2d, cqk)
+    v_all = _linear(x2d, cv)
     m0_heads, m1_heads = [], []
     for h in range(num_heads):
         c0 = h * head_dim
@@ -226,22 +257,49 @@ def _layer_stack_kernel(
         ],
         axis=0,
     )
-    message = _linear(ctx, co_w, co_b)
-    x2d = _ffn(x2d, message, cf1_w, cf1_b, cln_g, cln_b, cf2_w, cf2_b)
+    message = _linear(ctx, cout)
+    x2d = _ffn(x2d, message, cffn1, cln_g, cln_b, cffn2)
 
     out_ref[...] = x2d.reshape(1, 2, n, e)
 
 
 def supports(layers_params, n0: int, n1: int, act_dtype, tp_axis) -> bool:
-    """Gate: the megakernel handles the fixed-depth, equal-bucket, non-TP,
-    non-int8 path (everything else falls back to the per-block kernels)."""
+    """Gate: the megakernel handles the fixed-depth, equal-bucket, non-TP
+    path (float or int8-weight-only); everything else falls back to the
+    per-block kernels."""
     if tp_axis is not None or n0 != n1:
         return False
     if n0 > MAX_SEQ or n0 % 128:
         return False
-    if "w_q" in layers_params["self_attn"]["qkv"]:  # int8 weight-only rung
-        return False
     return jnp.dtype(act_dtype) == jnp.bfloat16
+
+
+def _weight_args(layers_params, quantized: bool):
+    """Flatten the layer pytree into the kernel's positional ref order.
+    Per linear: (w, b) or — int8 — (w_q, scale, b); LayerNorm g/b are
+    plain. Biases get a broadcast-ready singleton row axis."""
+
+    def lin(p, bias_2d=True):
+        b = p["b"][:, None, :] if bias_2d else p["b"]
+        if quantized:
+            return [p["w_q"], p["scale"], b]
+        return [p["w"], b]
+
+    sp = layers_params["self_attn"]
+    cp = layers_params["cross_attn"]
+    args = []
+    args += lin(sp["qkv"], bias_2d=False)       # bias already (L, 3, E)
+    args += lin(sp["out"])
+    args += lin(sp["ffn1"])
+    args += [sp["ln_g"][:, None, :], sp["ln_b"][:, None, :]]
+    args += lin(sp["ffn2"])
+    args += lin(cp["qk"])
+    args += lin(cp["v"])
+    args += lin(cp["out"])
+    args += lin(cp["ffn1"])
+    args += [cp["ln_g"][:, None, :], cp["ln_b"][:, None, :]]
+    args += lin(cp["ffn2"])
+    return args
 
 
 @functools.partial(
@@ -273,7 +331,7 @@ def transformer_stack(
       (d0', d1'): (B, N, E) after all layers.
     """
     b, n, e = d0.shape
-    n_layers = layers_params["self_attn"]["out"]["w"].shape[0]
+    n_layers = layers_params["self_attn"]["ln_g"].shape[0]
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
     stat_dtype = jnp.dtype(stat_dtype)
@@ -290,21 +348,8 @@ def transformer_stack(
     freqs = jnp.stack([freqs0, freqs1], axis=1)     # (B, 2, 2, N, D)
     freqs = freqs.astype(jnp.float32)
 
-    sp = layers_params["self_attn"]
-    cp = layers_params["cross_attn"]
-    weight_args = (
-        sp["qkv"]["w"], sp["qkv"]["b"],
-        sp["out"]["w"], sp["out"]["b"][:, None, :],
-        sp["ffn1"]["w"], sp["ffn1"]["b"][:, None, :],
-        sp["ln_g"][:, None, :], sp["ln_b"][:, None, :],
-        sp["ffn2"]["w"], sp["ffn2"]["b"][:, None, :],
-        cp["qk"]["w"], cp["qk"]["b"][:, None, :],
-        cp["v"]["w"], cp["v"]["b"][:, None, :],
-        cp["out"]["w"], cp["out"]["b"][:, None, :],
-        cp["ffn1"]["w"], cp["ffn1"]["b"][:, None, :],
-        cp["ln_g"][:, None, :], cp["ln_b"][:, None, :],
-        cp["ffn2"]["w"], cp["ffn2"]["b"][:, None, :],
-    )
+    quantized = "w_q" in layers_params["self_attn"]["qkv"]
+    weight_args = tuple(_weight_args(layers_params, quantized))
 
     def _wspec(a):
         blk = (1,) + a.shape[1:]
@@ -321,6 +366,7 @@ def transformer_stack(
         head_dim=head_dim,
         stat_dtype=stat_dtype,
         masked=masked,
+        quantized=quantized,
     )
 
     # per pair per layer: 7 ExE projections + 2 FFNs + self/cross attention

@@ -119,6 +119,36 @@ def test_stack_matches_full_forward():
     assert (s_got.argmax(-1) == s_ref.argmax(-1)).mean() > 0.9
 
 
+def test_stack_int8_matches_per_block():
+    """INT8 rung through the megakernel (in-kernel dequant) must agree with
+    the per-block int8 path."""
+    from lightglue_tpu.quant import quantize_lightglue
+
+    b, n, n_layers = 1, 256, 2
+    config, policy_bf16, _, kpts0, kpts1, d0, d1 = _setup(b, n, n_layers)
+    policy = policy_for(Precision.INT8)
+    raw = weights.init_lightglue(0, config)
+    params = weights.to_jax(quantize_lightglue(raw))
+    lens0 = lens1 = jnp.full((b,), n, jnp.int32)
+    freqs0 = lightglue.posenc(params["posenc"], kpts0, config.head_dim)
+    freqs1 = lightglue.posenc(params["posenc"], kpts1, config.head_dim)
+
+    with jax.default_matmul_precision(policy.matmul_precision):
+        ref0, ref1 = _scan_path(
+            params, d0, d1, freqs0, freqs1, lens0, lens1, config, policy
+        )
+        got0, got1 = layer_stack.transformer_stack(
+            params["layers"], d0, d1, freqs0, freqs1, lens0, lens1,
+            num_heads=config.num_heads,
+            head_dim=config.head_dim,
+            stat_dtype=policy.attn_stat_dtype,
+        )
+    for ref, got in ((ref0, got0), (ref1, got1)):
+        ref = np.asarray(ref, np.float32)
+        got = np.asarray(got, np.float32)
+        assert np.abs(ref - got).max() <= 0.02 * np.abs(ref).max()
+
+
 def test_supports_gate():
     config, policy, params, *_ = _setup(1, 256, 1)
     layers = params["layers"]
