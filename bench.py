@@ -125,7 +125,10 @@ def bench_superpoint(precision: Precision, h: int = 480, w: int = 640):
                     params, img, config=config.superpoint, policy=policy
                 )
                 ext = extract_keypoints(scores, desc, config=config.superpoint)
-                return scores[0, 0, 0], ()
+                # the carry must consume the extraction or XLA dead-code
+                # eliminates it (it did: the old scores-only carry measured
+                # forward-only, 1.27 ms vs the true 2.04 ms)
+                return ext.keypoints_norm[0, 0, 0], ()
             return jax.lax.scan(body, jnp.float32(0), None, length=iters)
 
         return run

@@ -128,3 +128,46 @@ def test_filter_matches_respects_row_mask(rng):
     out = filter_matches(jnp.asarray(s), threshold=0.0, max_matches=32, mask0=mask0)
     rows = np.asarray(out.indices[0, : int(out.count[0]), 0])
     assert (rows < 16).all()
+
+
+def test_tiled_topk_matches_exact_topk(rng):
+    """The NMS-sparsity two-stage top-k must equal a full top_k for every
+    score above the detection threshold (extract.py:_topk_nms_tiled)."""
+    from lightglue_tpu.kernels.nms import simple_nms
+    from lightglue_tpu.pipeline.extract import _topk_nms_tiled, mask_borders
+
+    h, w, k = 96, 128, 64
+    dense = jnp.asarray(rng.random((2, h, w), dtype=np.float32))
+    scores = simple_nms(dense, 4)
+    masked = mask_borders(scores, 4)
+
+    exact_v, exact_i = jnp.sort(
+        masked.reshape(2, -1), descending=True
+    )[:, :k], jnp.argsort(masked.reshape(2, -1), descending=True)[:, :k]
+    tiled_v, tiled_i = _topk_nms_tiled(masked, k, h, w)
+
+    thr = 0.0005
+    for b in range(2):
+        nv = int(np.sum(np.asarray(exact_v[b]) > thr))
+        np.testing.assert_allclose(
+            np.asarray(tiled_v[b, :nv]), np.asarray(exact_v[b, :nv])
+        )
+        assert (np.asarray(tiled_i[b, :nv]) == np.asarray(exact_i[b, :nv])).all()
+
+
+def test_extract_tiled_path_used_and_correct(rng):
+    """extract_keypoints routes through the tiled top-k on standard shapes
+    and still finds the planted peaks in order."""
+    config = SuperPointConfig(max_num_keypoints=8)
+    h, w = 64, 64
+    scores = np.zeros((1, h, w), np.float32)
+    peaks = [(10, 12, 0.9), (30, 40, 0.8), (50, 20, 0.7), (40, 55, 0.6)]
+    for y, x, v in peaks:
+        scores[0, y, x] = v
+    desc = rng.standard_normal((1, h // 8, w // 8, 32)).astype(np.float32)
+    ext = extract_keypoints(
+        jnp.asarray(scores), jnp.asarray(desc), config=config
+    )
+    assert int(ext.count[0]) == 4
+    got = np.asarray(ext.keypoints[0, :4]).astype(int).tolist()
+    assert got == [[x, y] for y, x, _ in peaks]
