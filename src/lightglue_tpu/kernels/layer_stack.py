@@ -54,11 +54,20 @@ def _interpret() -> bool:
 
 
 def _dot(a, b, contract=((1,), (0,))):
+    # fp32 operands must request HIGHEST or the MXU silently degrades them
+    # to single bf16 passes (~1e-3 relative error) — the MIXED/FP32 rungs
+    # mirror engines whose non-attention layers are true fp32
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(a.dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     return jax.lax.dot_general(
         a,
         b,
         dimension_numbers=(contract, ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
 
 
@@ -89,6 +98,7 @@ def _layer_stack_kernel(
     num_heads: int,
     head_dim: int,
     stat_dtype,
+    attn_dtype,
     masked: bool,
     quantized: bool,
 ):
@@ -199,16 +209,21 @@ def _layer_stack_kernel(
         heads = []
         for h in range(num_heads):
             c0 = h * head_dim
-            q_h = _rope(q_img[:, c0 : c0 + head_dim], img)
-            k_h = _rope(k_img[:, c0 : c0 + head_dim], img)
-            v_h = v_img[:, c0 : c0 + head_dim]
+            # attention operands run in attn_dtype (MIXED: fp32 activations
+            # with bf16 attention inputs, mirroring the plugin's internal
+            # fp32->fp16 downcast, lightglue_attention_plugin.cpp:222-267)
+            q_h = _rope(q_img[:, c0 : c0 + head_dim].astype(attn_dtype), img)
+            k_h = _rope(k_img[:, c0 : c0 + head_dim].astype(attn_dtype), img)
+            v_h = v_img[:, c0 : c0 + head_dim].astype(attn_dtype)
             s = _quant(_dot(q_h, k_h, contract=((1,), (1,))) * scale)
             if masked:
                 s = jnp.where(cols_iota < lens[img], s, _NEG_INF)
             m = _quant(jnp.max(s, axis=1, keepdims=True))
             p = _quant(jnp.exp(s - m))
             lsum = _quant(jnp.sum(p, axis=1, keepdims=True))
-            o = _dot(p.astype(dt), v_h) / jnp.where(lsum == 0.0, 1.0, lsum)
+            o = _dot(p.astype(attn_dtype), v_h) / jnp.where(
+                lsum == 0.0, 1.0, lsum
+            )
             if masked:
                 o = jnp.where(out_rows < lens[img], o, 0.0)
             heads.append(o.astype(dt))
@@ -223,10 +238,10 @@ def _layer_stack_kernel(
     m0_heads, m1_heads = [], []
     for h in range(num_heads):
         c0 = h * head_dim
-        qk0 = qk_all[:n, c0 : c0 + head_dim]
-        qk1 = qk_all[n:, c0 : c0 + head_dim]
-        v0 = v_all[:n, c0 : c0 + head_dim]
-        v1 = v_all[n:, c0 : c0 + head_dim]
+        qk0 = qk_all[:n, c0 : c0 + head_dim].astype(attn_dtype)
+        qk1 = qk_all[n:, c0 : c0 + head_dim].astype(attn_dtype)
+        v0 = v_all[:n, c0 : c0 + head_dim].astype(attn_dtype)
+        v1 = v_all[n:, c0 : c0 + head_dim].astype(attn_dtype)
         # shared similarity matrix, computed once; direction 1->0 rides its
         # transpose as a free contraction-axis choice on the MXU
         s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)
@@ -236,14 +251,14 @@ def _layer_stack_kernel(
         p0 = _quant(jnp.exp(s_row - m0s))
         l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))
         p0 = p0 / jnp.where(l0 == 0.0, 1.0, l0)
-        o0 = _dot(p0.astype(dt), v1)
+        o0 = _dot(p0.astype(attn_dtype), v1)
 
         s_col = jnp.where(rows_iota < lens[0], s, _NEG_INF) if masked else s
         m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
         p1 = _quant(jnp.exp(s_col - m1s))
         l1 = _quant(jnp.sum(p1, axis=0, keepdims=True))
         p1 = p1 / jnp.where(l1 == 0.0, 1.0, l1)
-        o1 = _dot(p1.astype(dt), v0, contract=((0,), (0,)))
+        o1 = _dot(p1.astype(attn_dtype), v0, contract=((0,), (0,)))
 
         if masked:
             o0 = jnp.where(out_rows < lens[0], o0, 0.0)
@@ -265,13 +280,13 @@ def _layer_stack_kernel(
 
 def supports(layers_params, n0: int, n1: int, act_dtype, tp_axis) -> bool:
     """Gate: the megakernel handles the fixed-depth, equal-bucket, non-TP
-    path (float or int8-weight-only); everything else falls back to the
-    per-block kernels."""
+    path (bf16, fp32-activation MIXED/FP32, or int8-weight-only);
+    everything else falls back to the per-block kernels."""
     if tp_axis is not None or n0 != n1:
         return False
     if n0 > MAX_SEQ or n0 % 128:
         return False
-    return jnp.dtype(act_dtype) == jnp.bfloat16
+    return jnp.dtype(act_dtype) in (jnp.bfloat16, jnp.float32)
 
 
 def _weight_args(layers_params, quantized: bool):
@@ -303,7 +318,14 @@ def _weight_args(layers_params, quantized: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "head_dim", "scale", "stat_dtype")
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "head_dim",
+        "scale",
+        "stat_dtype",
+        "attn_dtype",
+    ),
 )
 def transformer_stack(
     layers_params,
@@ -318,6 +340,7 @@ def transformer_stack(
     head_dim: int,
     scale: Optional[float] = None,
     stat_dtype=jnp.float32,
+    attn_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run all stacked LightGlue layers in one kernel.
 
@@ -335,6 +358,7 @@ def transformer_stack(
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
     stat_dtype = jnp.dtype(stat_dtype)
+    attn_dtype = jnp.dtype(attn_dtype) if attn_dtype is not None else d0.dtype
 
     masked = lengths0 is not None
     if lengths0 is None:
@@ -365,6 +389,7 @@ def transformer_stack(
         num_heads=num_heads,
         head_dim=head_dim,
         stat_dtype=stat_dtype,
+        attn_dtype=attn_dtype,
         masked=masked,
         quantized=quantized,
     )
@@ -409,10 +434,14 @@ def transformer_stack(
             transcendentals=b * n_layers * 4 * num_heads * n * n,
         ),
         # the default 16 MB scoped-vmem cap is too small for the resident
-        # activations + double-buffered weights + one fp32 S tile (~23 MB);
-        # v5e has 64 MB of physical VMEM per core
+        # activations + double-buffered weights + one fp32 S tile (~23 MB
+        # bf16, ~2x for the fp32-activation rungs)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=40 * 1024 * 1024
+            vmem_limit_bytes=(
+                40 if d0.dtype == jnp.bfloat16 else 80
+            )
+            * 1024
+            * 1024
         ),
         interpret=_interpret(),
     )(lens, x, freqs, *weight_args)

@@ -543,6 +543,7 @@ def _forward_impl(
             num_heads=num_heads,
             head_dim=config.head_dim,
             stat_dtype=policy.attn_stat_dtype,
+            attn_dtype=policy.attn_in_dtype,
         )
     else:
 

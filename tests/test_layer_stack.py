@@ -149,12 +149,54 @@ def test_stack_int8_matches_per_block():
         assert np.abs(ref - got).max() <= 0.02 * np.abs(ref).max()
 
 
+@pytest.mark.parametrize("precision,tol", [
+    (Precision.MIXED, 5e-3),
+    (Precision.FP32, 1e-4),
+])
+def test_stack_fp32_rungs_match_per_block(precision, tol):
+    """MIXED (fp32 acts, bf16 attention operands) and FP32 through the
+    megakernel vs the per-block path."""
+    b, n, n_layers = 1, 256, 2
+    config = LightGlueConfig(n_layers=n_layers)
+    policy = policy_for(precision)
+    params = weights.to_jax(
+        weights.init_lightglue(0, config), policy.param_dtype
+    )
+    rng = np.random.default_rng(0)
+    kpts0 = jnp.asarray(rng.uniform(-1, 1, (b, n, 2)).astype(np.float32))
+    kpts1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 2)).astype(np.float32))
+    d0 = jnp.asarray(rng.standard_normal((b, n, 256), dtype=np.float32))
+    d1 = jnp.asarray(rng.standard_normal((b, n, 256), dtype=np.float32))
+    lens = jnp.full((b,), n, jnp.int32)
+    freqs0 = lightglue.posenc(params["posenc"], kpts0, config.head_dim)
+    freqs1 = lightglue.posenc(params["posenc"], kpts1, config.head_dim)
+
+    with jax.default_matmul_precision(policy.matmul_precision):
+        ref0, ref1 = _scan_path(
+            params, d0, d1, freqs0, freqs1, lens, lens, config, policy
+        )
+        got0, got1 = layer_stack.transformer_stack(
+            params["layers"], d0, d1, freqs0, freqs1, lens, lens,
+            num_heads=config.num_heads,
+            head_dim=config.head_dim,
+            stat_dtype=policy.attn_stat_dtype,
+            attn_dtype=policy.attn_in_dtype,
+        )
+    for ref, got in ((ref0, got0), (ref1, got1)):
+        ref = np.asarray(ref, np.float32)
+        got = np.asarray(got, np.float32)
+        assert np.abs(ref - got).max() <= tol * np.abs(ref).max(), (
+            np.abs(ref - got).max(),
+            np.abs(ref).max(),
+        )
+
+
 def test_supports_gate():
     config, policy, params, *_ = _setup(1, 256, 1)
     layers = params["layers"]
     assert layer_stack.supports(layers, 256, 256, jnp.bfloat16, None)
+    assert layer_stack.supports(layers, 256, 256, jnp.float32, None)
     assert not layer_stack.supports(layers, 256, 512, jnp.bfloat16, None)
-    assert not layer_stack.supports(layers, 256, 256, jnp.float32, None)
     assert not layer_stack.supports(layers, 2048, 2048, jnp.bfloat16, None)
     assert not layer_stack.supports(layers, 192, 192, jnp.bfloat16, None)
     assert not layer_stack.supports(layers, 256, 256, jnp.bfloat16, "model")
