@@ -72,7 +72,14 @@ def _timed(make_fn, *args):
     return max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO) * 1e3
 
 
-def bench_lightglue(precision: Precision, n: int = 1024, batch: int = 1):
+def bench_lightglue(
+    precision: Precision, n: int = 1024, batch: int = 1, masked: bool = False
+):
+    """masked=False measures the executable the session actually dispatches
+    at the headline shape: extraction caps keypoints at 1024, so a
+    1024-bucket pair is always exactly full and runs the unmasked variant
+    (the analog of the reference skipping pad/unpad when N % 64 == 0).
+    masked=True measures the padded-bucket executable."""
     config = PipelineConfig(precision=precision)
     policy = policy_for(config.precision)
     params = weights.to_jax(
@@ -87,7 +94,7 @@ def bench_lightglue(precision: Precision, n: int = 1024, batch: int = 1):
     desc1 = jnp.asarray(
         rng.standard_normal((batch, n, 256), dtype=np.float32), policy.act_dtype
     )
-    lens = jnp.full((batch,), n, jnp.int32)
+    lens = jnp.full((batch,), n, jnp.int32) if masked else None
 
     def make_fn(iters):
         @jax.jit
@@ -188,6 +195,9 @@ def main():
         "lightglue_bf16_1x1024_ms": round(lg_bf16, 3),
     }
     try:
+        extra["lightglue_bf16_masked_1x1024_ms"] = round(
+            bench_lightglue(Precision.BF16, masked=True), 3
+        )
         extra["lightglue_mixed_1x1024_ms"] = round(
             bench_lightglue(Precision.MIXED), 3
         )

@@ -625,33 +625,46 @@ def _bidir_cross_kernel(
         s = _quant(s * scale)
 
         # direction 0 -> 1: softmax over columns j (keys in image 1)
+        # denominator applied AFTER the PV matmul on the (N, D) output —
+        # 16x fewer divides than normalizing the (N, N) P, and the same
+        # epilogue order as the reference kernel's `O *= 1/l`
+        # (attention_headdim_64_fp16in_fp16out.cu:695-701)
         s_row = jnp.where(cols < len1, s, _NEG_INF) if masked else s
         m0 = _quant(jnp.max(s_row, axis=1, keepdims=True))
         p0 = _quant(jnp.exp(s_row - m0))
-        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))
-        p0 = p0 / jnp.where(l0 == 0.0, 1.0, l0)
+        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N0, 1)
         o0 = jax.lax.dot_general(
             p0.astype(v1_pack.dtype),
             v1_pack[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(v1_pack.dtype),
-        )
+        ) / jnp.where(l0 == 0.0, 1.0, l0)
 
         # direction 1 -> 0: softmax over rows i (keys in image 0); O1 via a
         # contraction over axis 0, i.e. the transpose ride is free on the MXU
         s_col = jnp.where(rows < len0, s, _NEG_INF) if masked else s
         m1 = _quant(jnp.max(s_col, axis=0, keepdims=True))
-        p1 = _quant(jnp.exp(s_col - m1))
-        l1 = _quant(jnp.sum(p1, axis=0, keepdims=True))
-        p1 = p1 / jnp.where(l1 == 0.0, 1.0, l1)
+        p1 = _quant(jnp.exp(s_col - m1)).astype(v0_pack.dtype)
+        # column sums in (N1, 1) orientation via a ones-vector contraction
+        # on the MXU — a (1, N1) keepdims sum would need a cross-lane
+        # relayout to divide the (N1, D) output
+        l1 = _quant(
+            jax.lax.dot_general(
+                p1,
+                jnp.ones((n0, 1), v0_pack.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(v0_pack.dtype),
+            )
+        )
         o1 = jax.lax.dot_general(
-            p1.astype(v0_pack.dtype),
+            p1,
             v0_pack[:, sl],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(v0_pack.dtype),
-        )
+        ) / jnp.where(l1 == 0.0, 1.0, l1)
 
         if masked:
             r0 = jax.lax.broadcasted_iota(jnp.int32, (n0, head_dim), 0)

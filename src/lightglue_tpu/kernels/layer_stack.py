@@ -246,19 +246,27 @@ def _layer_stack_kernel(
         # transpose as a free contraction-axis choice on the MXU
         s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)
 
+        # normalization by the softmax denominator happens AFTER the PV
+        # matmul on the (N, D) output, not on the (N, N) probability matrix
+        # — 16x fewer VPU divides at D=64 (same algebra: l is constant along
+        # the contraction)
         s_row = jnp.where(cols_iota < lens[1], s, _NEG_INF) if masked else s
         m0s = _quant(jnp.max(s_row, axis=1, keepdims=True))
         p0 = _quant(jnp.exp(s_row - m0s))
-        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))
-        p0 = p0 / jnp.where(l0 == 0.0, 1.0, l0)
-        o0 = _dot(p0.astype(attn_dtype), v1)
+        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N, 1)
+        o0 = _dot(p0.astype(attn_dtype), v1) / jnp.where(l0 == 0.0, 1.0, l0)
 
         s_col = jnp.where(rows_iota < lens[0], s, _NEG_INF) if masked else s
         m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
-        p1 = _quant(jnp.exp(s_col - m1s))
-        l1 = _quant(jnp.sum(p1, axis=0, keepdims=True))
-        p1 = p1 / jnp.where(l1 == 0.0, 1.0, l1)
-        o1 = _dot(p1.astype(attn_dtype), v0, contract=((0,), (0,)))
+        p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
+        # column sums in (N, 1) orientation via a ones-vector contraction on
+        # the MXU — a (1, N) keepdims sum would need a cross-lane relayout
+        # to divide the (N, D) output
+        l1 = _quant(
+            _dot(p1, jnp.ones((n, 1), attn_dtype), contract=((0,), (0,)))
+        )
+        o1 = _dot(p1, v0, contract=((0,), (0,)))
+        o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
 
         if masked:
             o0 = jnp.where(out_rows < lens[0], o0, 0.0)

@@ -44,6 +44,28 @@ def _relu_conv(p, x: jax.Array) -> jax.Array:
     return jax.nn.relu(_conv(p, x))
 
 
+def _relu_conv1a_shift(p, x: jax.Array) -> jax.Array:
+    """First conv (C_in=1) as 9 shifted broadcast-FMAs on the VPU.
+
+    A 1-channel 3x3 conv is degenerate for the MXU (contraction depth 9 of
+    128) and XLA's conv lowering wraps it in layout-conversion copies that
+    cost more than the math (~0.3 ms of pure `copy` at 480x640 on v5e,
+    measured via scripts/bench_stem.py: conv-op stem 0.93 ms vs shift stem
+    0.80 ms). The tap-shift form stays in the natural (row, col) layout and
+    fuses into one VPU loop.
+    """
+    b, h, w, _ = x.shape
+    x2d = x[..., 0]
+    xp = jnp.pad(x2d, ((0, 0), (1, 1), (1, 1)))
+    wf = p["w"].astype(jnp.float32)  # (3, 3, 1, C)
+    acc = jnp.zeros((b, h, w, wf.shape[-1]), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            tap = xp[:, di : di + h, dj : dj + w].astype(jnp.float32)
+            acc = acc + tap[..., None] * wf[di, dj, 0]
+    return jax.nn.relu(acc + p["b"]).astype(x.dtype)
+
+
 def _max_pool_2x2(x: jax.Array) -> jax.Array:
     return jax.lax.reduce_window(
         x,
@@ -80,7 +102,7 @@ def _forward_impl(params, image, *, config, policy):
     x = image.astype(policy.act_dtype)
 
     # Shared encoder (reference superpoint.py:143-153).
-    x = _relu_conv(params["conv1a"], x)
+    x = _relu_conv1a_shift(params["conv1a"], x)
     x = _relu_conv(params["conv1b"], x)
     x = _max_pool_2x2(x)
     x = _relu_conv(params["conv2a"], x)

@@ -30,6 +30,9 @@ from lightglue_tpu.pipeline.extract import Extraction, extract_keypoints
 from lightglue_tpu.pipeline.match import Matches, filter_matches
 from lightglue_tpu.precision import policy_for
 from lightglue_tpu.runtime import weights as weights_lib
+from lightglue_tpu.utils.logging import get_logger
+
+_log = get_logger("session")
 
 
 class MatcherSession:
@@ -74,6 +77,7 @@ class MatcherSession:
     def _extract_fn(self, batch: int, h: int, w: int):
         key = (batch, h, w)
         if key not in self._extract_cache:
+            _log.info("compiling extract executable batch=%d %dx%d", batch, h, w)
             config, policy = self.config, self.policy
 
             @jax.jit
@@ -102,9 +106,18 @@ class MatcherSession:
 
     # -- matching -----------------------------------------------------------
 
-    def _match_fn(self, bucket0: int, bucket1: int):
-        key = (bucket0, bucket1)
+    def _match_fn(self, bucket0: int, bucket1: int, full: bool = False):
+        """``full=True`` compiles the unmasked variant for batches where every
+        pair fills its bucket exactly — no pad keypoints exist, so all
+        masking work is skipped (the analog of the reference plugin skipping
+        pad/unpad when N %% 64 == 0, lightglue_attention_plugin.cpp:196-199).
+        """
+        key = (bucket0, bucket1, full)
         if key not in self._match_cache:
+            _log.info(
+                "compiling match executable buckets=%dx%d full=%s",
+                bucket0, bucket1, full,
+            )
             config, policy = self.config, self.policy
             k = min(config.max_matches, bucket0)
             adaptive = (
@@ -114,6 +127,8 @@ class MatcherSession:
 
             @jax.jit
             def run(lg_params, kpts0, kpts1, desc0, desc1, lengths0, lengths1):
+                if full and not adaptive:
+                    lengths0 = lengths1 = None
                 if adaptive:
                     out = lightglue.forward_adaptive(
                         lg_params,
@@ -178,7 +193,12 @@ class MatcherSession:
         b1 = self.config.bucket_for(max(n1, 1))
         lengths0 = jnp.minimum(ext0.count, b0)
         lengths1 = jnp.minimum(ext1.count, b1)
-        fn = self._match_fn(b0, b1)
+        # every pair fills its bucket -> dispatch the unmasked executable
+        full = bool(
+            (np.asarray(ext0.count) >= b0).all()
+            and (np.asarray(ext1.count) >= b1).all()
+        )
+        fn = self._match_fn(b0, b1, full)
         return fn(
             self.lg_params,
             ext0.keypoints_norm[:, :b0],

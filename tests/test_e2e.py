@@ -175,3 +175,34 @@ def test_match_batch_consistent_with_match_pair(pipelines, image_pair):
         np.testing.assert_allclose(
             res["match_scores"], single["match_scores"], rtol=1e-5
         )
+
+
+def test_full_bucket_unmasked_dispatch_equals_masked(pipelines):
+    """When every pair fills its bucket exactly, the session dispatches the
+    unmasked executable (the analog of the reference plugin skipping
+    pad/unpad when N % 64 == 0) — results must be identical to the masked
+    variant at the same lengths."""
+    import jax.numpy as jnp
+
+    session, *_ = pipelines
+    b = 64
+    rng = np.random.default_rng(3)
+    k0 = jnp.asarray(rng.uniform(-1, 1, (1, b, 2)).astype(np.float32))
+    k1 = jnp.asarray(rng.uniform(-1, 1, (1, b, 2)).astype(np.float32))
+    d0 = jnp.asarray(rng.standard_normal((1, b, 256)).astype(np.float32))
+    d1 = jnp.asarray(rng.standard_normal((1, b, 256)).astype(np.float32))
+    lens = jnp.full((1,), b, jnp.int32)
+
+    out_m, mat_m = session._match_fn(b, b, full=False)(
+        session.lg_params, k0, k1, d0, d1, lens, lens
+    )
+    out_f, mat_f = session._match_fn(b, b, full=True)(
+        session.lg_params, k0, k1, d0, d1, lens, lens
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.scores), np.asarray(out_m.scores), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat_f.indices), np.asarray(mat_m.indices)
+    )
+    assert int(mat_f.count[0]) == int(mat_m.count[0])
