@@ -134,18 +134,22 @@ def make_parallel_match_fn(
     config: PipelineConfig,
     bucket0: int,
     bucket1: int,
+    full: bool = False,
 ):
     """Jitted shard_map step: batched LightGlue matching over (data, model).
 
     Input batch B must be divisible by the data-axis size. Params must carry
     the shardings from ``shard_lightglue_params``; inside the shard_map body
     every device sees its local heads and the Pallas kernel runs locally.
+
+    ``full=True`` compiles the unmasked variant (lengths ignored) for
+    batches where every pair fills its bucket exactly — the sharded analog
+    of MatcherSession._match_fn(full=True).
     """
     policy = policy_for(config.precision)
     tp = mesh.shape[AXIS_MODEL]
     tp_axis = AXIS_MODEL if tp > 1 else None
     k = min(config.max_matches, bucket0)
-    param_specs = None  # resolved lazily against the actual pytree
 
     def step(lg_params, kpts0, kpts1, desc0, desc1, lengths0, lengths1):
         out = lightglue.forward(
@@ -154,8 +158,8 @@ def make_parallel_match_fn(
             kpts1,
             desc0,
             desc1,
-            lengths0,
-            lengths1,
+            None if full else lengths0,
+            None if full else lengths1,
             config=config.lightglue,
             policy=policy,
             tp_axis=tp_axis,
@@ -201,7 +205,10 @@ def make_parallel_match_fn(
     compiled = {}
 
     def call(lg_params, *args):
-        key = "fn"
+        # keyed on the param pytree structure: a quantized (int8) pytree or
+        # a structurally different checkpoint gets its own shard_map build
+        # instead of silently reusing the first one's specs
+        key = jax.tree.structure(lg_params)
         if key not in compiled:
             compiled[key] = build(lg_params)
         return compiled[key](lg_params, *args)

@@ -86,17 +86,32 @@ def global_batch_from_local(
 def barrier(mesh: Mesh) -> int:
     """All-device liveness check; returns the participating device count.
 
-    Runs a psum of ones over every mesh axis — if any host is dead the
-    collective times out everywhere, turning partial failure into coherent
-    whole-job failure (fail-fast, SURVEY.md §5)."""
+    Runs a REAL psum of per-device ones over every mesh axis (shard_map, one
+    element per device): the result is data-dependent on every device's
+    contribution, so if any host is dead the collective hangs/times out
+    everywhere, turning partial failure into coherent whole-job failure
+    (fail-fast, SURVEY.md §5). Verified in tests/test_multiprocess.py on a
+    real 2-process jax.distributed run.
+    """
     axes = tuple(mesh.axis_names)
 
-    @jax.jit
-    def count():
-        ones = jax.device_put(
-            jnp.ones((), jnp.int32),
-            NamedSharding(mesh, P()),
-        )
-        return ones * mesh.size
+    def local_count(x):
+        s = jnp.sum(x)
+        for ax in axes:
+            s = jax.lax.psum(s, ax)
+        return s
 
-    return int(count())
+    fn = jax.jit(
+        jax.shard_map(
+            local_count, mesh=mesh, in_specs=P(axes), out_specs=P()
+        )
+    )
+    sharding = NamedSharding(mesh, P(axes))
+    host_ones = np.ones((mesh.size,), np.int32)
+    if jax.process_count() == 1:
+        ones = jax.device_put(host_ones, sharding)
+    else:  # each process materializes only its addressable shards
+        ones = jax.make_array_from_callback(
+            (mesh.size,), sharding, lambda idx: host_ones[idx]
+        )
+    return int(np.asarray(fn(ones)))

@@ -51,12 +51,13 @@ def sample_descriptors(
       p = (g + 1) / 2 * (dim - 1)          [align_corners=True]
     which collapses to p = (k - (s/2 - 0.5)) / (dim*s - s/2 - 0.5) * (dim - 1).
 
-    On TPU the four neighbor fetches are ONE matmul: a row-sparse
-    interpolation matrix (4 bilinear coefficients per keypoint, built by
-    iota-compare) times the flattened descriptor map — the MXU is the
-    gather engine. Data-dependent ``take_along_axis`` row gathers measured
-    ~0.75 ms for 4x1024x256 on v5e; the matmul form is ~25x cheaper and
-    exact (fp32 accumulation over a 4-nonzero row).
+    Implementation: four ``take_along_axis`` row gathers + a bilinear lerp.
+    A one-hot interpolation-matmul form (build a (K, h*w) matrix of the 4
+    bilinear coefficients by iota-compare, let the MXU do the gather) was
+    prototyped and benchmarked (scripts/attrib_sp.py history); in-model it
+    did NOT beat the gathers once the two-stage NMS top-k landed — the
+    dominant extraction cost was the top-k sort, not this sampling. The
+    gathers are kept as the simpler exact form.
 
     Args:
       keypoints: (B, K, 2) pixel (x, y) in the full-resolution image.

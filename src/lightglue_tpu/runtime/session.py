@@ -18,6 +18,7 @@ demo/demo_mono.cpp:255-266).
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -30,7 +31,7 @@ from lightglue_tpu.pipeline.extract import Extraction, extract_keypoints
 from lightglue_tpu.pipeline.match import Matches, filter_matches
 from lightglue_tpu.precision import policy_for
 from lightglue_tpu.runtime import weights as weights_lib
-from lightglue_tpu.utils.logging import get_logger
+from lightglue_tpu.utils.logging import ErrorRecorder, get_logger
 
 _log = get_logger("session")
 
@@ -44,9 +45,19 @@ class MatcherSession:
         lg_params=None,
         config: PipelineConfig = PipelineConfig(),
         seed: int = 0,
+        compile_cache_dir: Optional[str] = "~/.cache/lightglue_tpu/xla",
     ):
         self.config = config
         self.policy = policy_for(config.precision)
+        if compile_cache_dir:  # engine-file analog: warm starts skip compiles
+            try:
+                from lightglue_tpu.runtime.aot import enable_compile_cache
+
+                enable_compile_cache(
+                    str(Path(compile_cache_dir).expanduser())
+                )
+            except Exception as e:  # cache is an optimization, never fatal
+                _log.warning("compile cache disabled: %s", e)
         sp_params = (
             weights_lib.init_superpoint(seed, config.superpoint)
             if sp_params is None
@@ -71,6 +82,10 @@ class MatcherSession:
             )
         self._extract_cache: Dict[Tuple[int, int, int], jax.stages.Wrapped] = {}
         self._match_cache: Dict[Tuple[int, int], jax.stages.Wrapped] = {}
+        # aggregates input-validation failures so a caller sees every
+        # problem with a bad batch at once (the IErrorRecorder pattern the
+        # reference vendors but never wires up — we do)
+        self.errors = ErrorRecorder()
 
     # -- extraction ---------------------------------------------------------
 
@@ -92,16 +107,24 @@ class MatcherSession:
 
     def extract(self, images: np.ndarray) -> Extraction:
         """images: (B, H, W, 1) float32 in [0,1], H/W multiples of 8."""
+        self.errors.clear()  # per-call aggregation
         if images.ndim != 4 or images.shape[-1] != 1:
-            raise ValueError(
+            self.errors.record(
                 f"expected (B, H, W, 1) grayscale batch, got {images.shape}"
             )
+        else:
+            h, w = images.shape[1:3]
+            if h % 8 or w % 8:
+                self.errors.record(
+                    f"H/W must be multiples of the stride-8 encoder, got "
+                    f"{h}x{w} (pad with utils.image.pad_to_multiple)"
+                )
+            if images.dtype != np.float32:
+                self.errors.record(
+                    f"expected float32 in [0, 1], got {images.dtype}"
+                )
+        self.errors.raise_if_any("invalid extraction input", exc=ValueError)
         b, h, w, _ = images.shape
-        if h % 8 or w % 8:
-            raise ValueError(
-                f"H/W must be multiples of the stride-8 encoder, got {h}x{w} "
-                "(pad with utils.image.pad_to_multiple)"
-            )
         return self._extract_fn(b, h, w)(self.sp_params, jnp.asarray(images))
 
     # -- matching -----------------------------------------------------------
@@ -112,18 +135,22 @@ class MatcherSession:
         masking work is skipped (the analog of the reference plugin skipping
         pad/unpad when N %% 64 == 0, lightglue_attention_plugin.cpp:196-199).
         """
+        config, policy = self.config, self.policy
+        adaptive = (
+            config.lightglue.depth_confidence > 0
+            or config.lightglue.width_confidence > 0
+        )
+        # adaptive always consumes lengths, so full is a no-op there —
+        # normalize it out of the key or a full batch would trigger a second
+        # identical (and remotely slow) compile
+        full = full and not adaptive
         key = (bucket0, bucket1, full)
         if key not in self._match_cache:
             _log.info(
                 "compiling match executable buckets=%dx%d full=%s",
                 bucket0, bucket1, full,
             )
-            config, policy = self.config, self.policy
             k = min(config.max_matches, bucket0)
-            adaptive = (
-                config.lightglue.depth_confidence > 0
-                or config.lightglue.width_confidence > 0
-            )
 
             @jax.jit
             def run(lg_params, kpts0, kpts1, desc0, desc1, lengths0, lengths1):
@@ -187,17 +214,17 @@ class MatcherSession:
         keeps the strongest keypoints — the same policy as the reference's
         top-k 1024 cap (export_onnx_with_plugin.py:121-123).
         """
-        n0 = int(jnp.max(ext0.count))
-        n1 = int(jnp.max(ext1.count))
-        b0 = self.config.bucket_for(max(n0, 1))
-        b1 = self.config.bucket_for(max(n1, 1))
+        # exactly TWO device->host fetches (each round trip through the
+        # relay costs ~27 ms — more than the match dispatch itself); all
+        # derived host values come from these arrays
+        c0 = np.asarray(ext0.count)
+        c1 = np.asarray(ext1.count)
+        b0 = self.config.bucket_for(max(int(c0.max()), 1))
+        b1 = self.config.bucket_for(max(int(c1.max()), 1))
         lengths0 = jnp.minimum(ext0.count, b0)
         lengths1 = jnp.minimum(ext1.count, b1)
         # every pair fills its bucket -> dispatch the unmasked executable
-        full = bool(
-            (np.asarray(ext0.count) >= b0).all()
-            and (np.asarray(ext1.count) >= b1).all()
-        )
+        full = bool((c0 >= b0).all() and (c1 >= b1).all())
         fn = self._match_fn(b0, b1, full)
         return fn(
             self.lg_params,

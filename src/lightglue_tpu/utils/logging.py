@@ -118,14 +118,16 @@ class ErrorRecorder:
             self._errors.clear()
             self._overflowed = False
 
-    def raise_if_any(self, prefix: str = "recorded errors") -> None:
+    def raise_if_any(
+        self, prefix: str = "recorded errors", exc: type = RuntimeError
+    ) -> None:
         with self._lock:
             if not self._errors:
                 return
             detail = "; ".join(self._errors)
             if self._overflowed:
                 detail += "; ... (overflowed)"
-        raise RuntimeError(f"{prefix}: {detail}")
+        raise exc(f"{prefix}: {detail}")
 
 
 def check(cond: bool, msg: str) -> None:
