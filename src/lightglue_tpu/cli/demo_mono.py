@@ -43,6 +43,12 @@ def parse_args():
                         "(see runtime.weights); random init if omitted")
     p.add_argument("--seed", type=int, default=888,
                    help="pair-sampling seed (srand(888), demo_mono.cpp:204)")
+    p.add_argument(
+        "--proxy_whiten", action="store_true",
+        help="with random-init weights, ZCA-whiten the descriptor head on "
+             "the first frame so match counts are meaningful (released "
+             "checkpoints are unobtainable offline — README.md)",
+    )
     return p.parse_args()
 
 
@@ -81,6 +87,16 @@ def main():
     if args.weights:
         ckpt = weights.load_npz(args.weights)
         sp_params, lg_params = ckpt.get("superpoint"), ckpt.get("lightglue")
+    elif args.proxy_whiten:
+        sp_params = weights.init_superpoint(0, config.superpoint)
+        calib = host.preprocess_image(
+            read_image(frames[0], grayscale=False),
+            (args.height, args.width),
+        )
+        sp_params = weights.whiten_superpoint_descriptors(
+            sp_params, calib[None], config=config.superpoint
+        )
+        print("proxy weights: descriptor head ZCA-whitened on frame 0")
     session = MatcherSession(sp_params, lg_params, config)
 
     print(f"warming up ({args.height}x{args.width}, buckets {config.buckets})...")

@@ -98,6 +98,39 @@ def forward(
         return _forward_impl(params, image, config=config, policy=policy)
 
 
+def forward_raw_descriptors(
+    params,
+    image: jax.Array,
+    *,
+    config: SuperPointConfig = SuperPointConfig(),
+    policy: DTypePolicy,
+) -> jax.Array:
+    """Dense descriptor map BEFORE L2 normalization, (B, H/8, W/8, 256) fp32.
+
+    Used by ``runtime.weights.whiten_superpoint_descriptors`` to calibrate a
+    ZCA whitening of the descriptor head for random-init (proxy) weights:
+    deep random ReLU CNNs collapse every position's descriptor onto one
+    dominant direction, and whitening the raw convDb output restores the
+    diversity trained weights would have (see tests/test_fullscale_parity.py
+    for the full rationale; the released checkpoints are unobtainable
+    offline, README.md)."""
+    with jax.default_matmul_precision(policy.matmul_precision):
+        x = image.astype(policy.act_dtype)
+        x = _relu_conv1a_shift(params["conv1a"], x)
+        x = _relu_conv(params["conv1b"], x)
+        x = _max_pool_2x2(x)
+        x = _relu_conv(params["conv2a"], x)
+        x = _relu_conv(params["conv2b"], x)
+        x = _max_pool_2x2(x)
+        x = _relu_conv(params["conv3a"], x)
+        x = _relu_conv(params["conv3b"], x)
+        x = _max_pool_2x2(x)
+        x = _relu_conv(params["conv4a"], x)
+        x = _relu_conv(params["conv4b"], x)
+        cda = _relu_conv(params["convDa"], x)
+        return _conv(params["convDb"], cda).astype(jnp.float32)
+
+
 def _forward_impl(params, image, *, config, policy):
     x = image.astype(policy.act_dtype)
 

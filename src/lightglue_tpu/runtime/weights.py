@@ -335,6 +335,55 @@ def init_superpoint(
     return params
 
 
+def whiten_superpoint_descriptors(
+    sp_params, images: np.ndarray, *, config=None, policy=None
+) -> Dict:
+    """Fold a ZCA whitening of the dense descriptor map into convDb (1x1).
+
+    For RANDOM-init (proxy) weights only — the released checkpoints are
+    unobtainable offline (README.md). Deep random ReLU CNNs collapse: every
+    position's raw descriptor shares one dominant direction, so after L2
+    normalization all keypoints are ~0.9999 cosine-similar and matching
+    degenerates to rank-1. Whitening the raw convDb output over the given
+    calibration images restores the diversity trained weights would have,
+    making demo/golden-run match counts meaningful. Deterministic given
+    (seed, calibration images); both the JAX pipeline and the torch oracle
+    consume the same adjusted parameters (tests/test_fullscale_parity.py).
+
+    Args:
+      sp_params: SuperPoint pytree (numpy fp32, HWIO convs).
+      images: (B, H, W, 1) float32 calibration batch.
+    Returns a new pytree with convDb rewritten.
+    """
+    from lightglue_tpu.config import SuperPointConfig as _SPC
+    from lightglue_tpu.models import superpoint as _sp
+    from lightglue_tpu.precision import policy_for as _pf, Precision as _P
+
+    config = config or _SPC()
+    policy = policy or _pf(_P.FP32)
+    raw = _sp.forward_raw_descriptors(
+        to_jax(sp_params), jnp.asarray(images), config=config, policy=policy
+    )
+    flat = np.asarray(raw, np.float64).reshape(-1, raw.shape[-1])
+    mu = flat.mean(0)
+    cov = np.cov(flat.T)
+    evals, evecs = np.linalg.eigh(cov)
+    # relative floor: random-init raw descriptors are tiny (top eigenvalue
+    # ~1e-5), so an absolute clip would flatten real directions; near-null
+    # numerical directions stay suppressed instead of being blown up
+    floor = max(float(evals.max()), 1e-30) * 1e-6
+    W = evecs @ np.diag(1.0 / np.sqrt(np.clip(evals, floor, None))) @ evecs.T
+
+    out = {k: dict(v) for k, v in sp_params.items()}
+    w = np.asarray(sp_params["convDb"]["w"], np.float64)  # (1, 1, 256, 256)
+    b = np.asarray(sp_params["convDb"]["b"], np.float64)
+    out["convDb"] = {
+        "w": np.einsum("ik,ck->ic", w[0, 0], W)[None, None].astype(np.float32),
+        "b": (W @ (b - mu)).astype(np.float32),
+    }
+    return out
+
+
 def superpoint_from_state_dict(sd: Mapping[str, Array]) -> Dict:
     """torch OIHW conv weights -> HWIO."""
     params = {}

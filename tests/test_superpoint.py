@@ -101,3 +101,35 @@ def test_session_rejects_bad_shapes(rng):
         session.extract(np.zeros((1, 30, 64, 1), np.float32))
     with _pytest.raises(ValueError, match="grayscale"):
         session.extract(np.zeros((1, 32, 32, 3), np.float32))
+
+
+def test_whiten_superpoint_descriptors(rng):
+    """ZCA-whitened convDb (proxy-pretrained weights, README) restores
+    descriptor DIVERSITY: random deep ReLU CNNs collapse every position's
+    L2-normalized descriptor onto one direction (|cos| ~ 0.9999); after
+    whitening the median pairwise |cos| must be small."""
+    import jax.numpy as jnp
+    from lightglue_tpu.models import superpoint
+    from lightglue_tpu.precision import Precision, policy_for
+    from lightglue_tpu.runtime import weights
+
+    def median_abs_cos(params, img):
+        raw = np.asarray(
+            superpoint.forward_raw_descriptors(
+                weights.to_jax(params), jnp.asarray(img),
+                policy=policy_for(Precision.FP32),
+            )
+        ).reshape(-1, 256).astype(np.float64)
+        d = raw / (np.linalg.norm(raw, axis=-1, keepdims=True) + 1e-12)
+        g = d @ d.T
+        return np.median(np.abs(g[~np.eye(len(g), dtype=bool)]))
+
+    params = weights.init_superpoint(3)
+    # calibration grid must have > 256 positions (the demo calibrates on a
+    # 480x640 frame = 4800 positions)
+    img = rng.random((1, 160, 224, 1)).astype(np.float32)
+    before = median_abs_cos(params, img)
+    wparams = weights.whiten_superpoint_descriptors(params, img)
+    after = median_abs_cos(wparams, img)
+    assert before > 0.99, before  # the collapse is real
+    assert after < 0.35, after    # whitening restores diversity

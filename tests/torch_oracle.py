@@ -174,6 +174,37 @@ def make_superpoint_state_dict(seed=0):
 
 
 @torch.no_grad()
+def oracle_superpoint_raw_descriptors(sd, image):
+    """Dense descriptor map BEFORE L2 normalization (B, C, H/8, W/8).
+
+    Used to calibrate descriptor whitening for full-scale parity tests:
+    random deep ReLU CNNs collapse — every position's descriptor shares one
+    dominant direction (all-positive activations), so after L2 normalization
+    the cosine similarity between any two keypoints is ~0.9999 and the match
+    structure degenerates to rank-1. Tests fold a ZCA whitening of this raw
+    map into the 1x1 convDb weights to restore the diversity trained weights
+    would have (see tests/test_fullscale_parity.py).
+    """
+    x = torch.as_tensor(np.asarray(image), dtype=torch.float32)
+
+    def conv(x, name, pad):
+        return F.conv2d(x, sd[f"{name}.weight"], sd[f"{name}.bias"], padding=pad)
+
+    for name in ["conv1a", "conv1b"]:
+        x = F.relu(conv(x, name, 1))
+    x = F.max_pool2d(x, 2, 2)
+    for name in ["conv2a", "conv2b"]:
+        x = F.relu(conv(x, name, 1))
+    x = F.max_pool2d(x, 2, 2)
+    for name in ["conv3a", "conv3b"]:
+        x = F.relu(conv(x, name, 1))
+    x = F.max_pool2d(x, 2, 2)
+    for name in ["conv4a", "conv4b"]:
+        x = F.relu(conv(x, name, 1))
+    return conv(F.relu(conv(x, "convDa", 1)), "convDb", 0)
+
+
+@torch.no_grad()
 def oracle_superpoint(sd, image, nms_radius=4):
     """Dense (scores, descriptors) like the reference exported graph
     (superpoint.py:137-179): encoder -> detector softmax/pixel-shuffle/NMS,
