@@ -44,6 +44,17 @@ class MatchResult:
     scores: np.ndarray   # (K,)
 
 
+def _addressable_rows(x) -> Dict[int, np.ndarray]:
+    """{global batch row -> host row} from a sharded array's local shards."""
+    rows: Dict[int, np.ndarray] = {}
+    for shard in x.addressable_shards:
+        start = shard.index[0].start or 0
+        data = np.asarray(shard.data)
+        for k in range(data.shape[0]):
+            rows[start + k] = data[k]
+    return rows
+
+
 class ContinuousBatcher:
     """Groups pairs into per-bucket batches and dispatches fixed shapes.
 
@@ -124,14 +135,41 @@ class ContinuousBatcher:
             len0[i], len1[i] = it.n0, it.n1
 
         arrays = [kpts0, kpts1, desc0, desc1, len0, len1]
+        multiprocess = jax.process_count() > 1
         if self.sharding is not None:
-            arrays = [
-                jax.device_put(a, s)
-                for a, s in zip(arrays, self._shardings(len0.shape, kpts0.shape))
-            ]
+            shardings = self._shardings(len0.shape, kpts0.shape)
+            if multiprocess:
+                # cross-host lockstep: every host submitted the same pair
+                # stream (deterministic dispatch order), so each host holds
+                # the full global batch and materializes only the shards its
+                # devices own — the SPMD feeding pattern of SURVEY.md §7
+                arrays = [
+                    jax.make_array_from_callback(
+                        a.shape, s, lambda idx, a=a: a[idx]
+                    )
+                    for a, s in zip(arrays, shardings)
+                ]
+            else:
+                arrays = [
+                    jax.device_put(a, s) for a, s in zip(arrays, shardings)
+                ]
         _, matches = self.match_fn(self.params, *arrays)
         self.dispatches += 1
 
+        if self.sharding is not None and multiprocess:
+            # each host post-processes the rows its devices own
+            counts = _addressable_rows(matches.count)
+            indices = _addressable_rows(matches.indices)
+            scores = _addressable_rows(matches.scores)
+            for i in range(real):
+                if i in counts:
+                    c = int(counts[i])
+                    self.results.append(
+                        MatchResult(
+                            items[i].pair_id, indices[i][:c], scores[i][:c]
+                        )
+                    )
+            return
         counts = np.asarray(matches.count)
         indices = np.asarray(matches.indices)
         scores = np.asarray(matches.scores)
