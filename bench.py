@@ -73,42 +73,82 @@ def _timed(make_fn, *args):
 
 
 def bench_lightglue(
-    precision: Precision, n: int = 1024, batch: int = 1, masked: bool = False
+    precision: Precision,
+    n: int = 1024,
+    batch: int = 1,
+    masked: bool = False,
+    n1: int | None = None,
+    actual: int | None = None,
+    adaptive: bool = False,
+    force_exit_layer: int | None = None,
 ):
-    """masked=False measures the executable the session actually dispatches
-    at the headline shape: extraction caps keypoints at 1024, so a
-    1024-bucket pair is always exactly full and runs the unmasked variant
-    (the analog of the reference skipping pad/unpad when N % 64 == 0).
-    masked=True measures the padded-bucket executable."""
-    config = PipelineConfig(precision=precision)
-    policy = policy_for(config.precision)
-    params = weights.to_jax(
-        weights.init_lightglue(0, config.lightglue), policy.param_dtype
+    """masked=False measures the unmasked executable — what the session
+    dispatches for pairs that hit the 1024 extraction cap (the analog of the
+    reference skipping pad/unpad when N % 64 == 0). Images yielding <1024
+    keypoints land in the 1024 bucket partially filled and run the masked
+    variant instead — reported separately as
+    lightglue_bf16_masked_1x1024_ms (full bucket) and
+    lightglue_bf16_masked_700of1024_ms (genuinely partial: quantifies the
+    in-kernel masking/tail-skip machinery)."""
+    from lightglue_tpu.config import LightGlueConfig
+
+    n1 = n if n1 is None else n1
+    lg_config = LightGlueConfig(
+        depth_confidence=0.95 if adaptive else -1.0,
+        width_confidence=0.99 if adaptive else -1.0,
     )
+    config = PipelineConfig(precision=precision, lightglue=lg_config)
+    policy = policy_for(config.precision)
+    raw = weights.init_lightglue(0, config.lightglue)
+    if force_exit_layer is not None:
+        # pin the early-exit decision: a large token-confidence bias makes
+        # every token confident from layer `force_exit_layer` on (sigmoid->1)
+        # and unconfident before it, so the while_loop exits exactly there —
+        # random weights give near-uniform confidences, so this is the only
+        # way to measure exit-at-layer-k latency deterministically
+        tb = np.asarray(raw["token"]["b"])  # (L-1, 1)
+        tb = np.where(
+            np.arange(tb.shape[0])[:, None] >= force_exit_layer - 1, 50.0, -50.0
+        ).astype(tb.dtype)
+        raw = dict(raw)
+        raw["token"] = dict(raw["token"], b=tb)
+        # width pruning must not fire (matchability high keeps all tokens)
+        raw["assign"] = dict(
+            raw["assign"],
+            match=dict(raw["assign"]["match"], b=np.full_like(
+                np.asarray(raw["assign"]["match"]["b"]), 50.0
+            )),
+        )
+    params = weights.to_jax(raw, policy.param_dtype)
     rng = np.random.default_rng(0)
     kpts0 = jnp.asarray(rng.uniform(-1, 1, (batch, n, 2)).astype(np.float32))
-    kpts1 = jnp.asarray(rng.uniform(-1, 1, (batch, n, 2)).astype(np.float32))
+    kpts1 = jnp.asarray(rng.uniform(-1, 1, (batch, n1, 2)).astype(np.float32))
     desc0 = jnp.asarray(
         rng.standard_normal((batch, n, 256), dtype=np.float32), policy.act_dtype
     )
     desc1 = jnp.asarray(
-        rng.standard_normal((batch, n, 256), dtype=np.float32), policy.act_dtype
+        rng.standard_normal((batch, n1, 256), dtype=np.float32), policy.act_dtype
     )
-    lens = jnp.full((batch,), n, jnp.int32) if masked else None
+    a0 = min(actual or n, n)
+    a1 = min(actual or n1, n1)
+    use_lens = masked or adaptive or (actual is not None)
+    lens0 = jnp.full((batch,), a0, jnp.int32) if use_lens else None
+    lens1 = jnp.full((batch,), a1, jnp.int32) if use_lens else None
+    fwd = lightglue.forward_adaptive if adaptive else lightglue.forward
 
     def make_fn(iters):
         @jax.jit
         def run(params, kpts0, kpts1, desc0, desc1):
             def body(carry, _):
                 d0 = desc0 + carry.astype(desc0.dtype) * 1e-30
-                out = lightglue.forward(
-                    params, kpts0, kpts1, d0, desc1, lens, lens,
+                out = fwd(
+                    params, kpts0, kpts1, d0, desc1, lens0, lens1,
                     config=config.lightglue, policy=policy,
                 )
                 m = filter_matches(
                     out.scores, config.match_threshold, config.max_matches
                 )
-                return out.scores[0, 0, 0], ()
+                return out.scores[0, 0, 0] + m.scores[0, 0] * 0, ()
             return jax.lax.scan(body, jnp.float32(0), None, length=iters)
 
         return run
@@ -197,6 +237,33 @@ def main():
     try:
         extra["lightglue_bf16_masked_1x1024_ms"] = round(
             bench_lightglue(Precision.BF16, masked=True), 3
+        )
+        # genuinely partial bucket: 700 real keypoints in the 1024 bucket —
+        # quantifies what the in-kernel masking/tail-skipping actually saves
+        extra["lightglue_bf16_masked_700of1024_ms"] = round(
+            bench_lightglue(Precision.BF16, masked=True, actual=700), 3
+        )
+        # smaller buckets + a mixed-bucket pair (256 x 512 keypoints)
+        extra["lightglue_bf16_1x256_ms"] = round(
+            bench_lightglue(Precision.BF16, n=256), 3
+        )
+        extra["lightglue_bf16_1x512_ms"] = round(
+            bench_lightglue(Precision.BF16, n=512), 3
+        )
+        extra["lightglue_bf16_mixed_256x512_ms"] = round(
+            bench_lightglue(Precision.BF16, n=256, n1=512), 3
+        )
+        # adaptive depth/width (BASELINE config 4): exit pinned at layer 3
+        # and layer 9 via the token-confidence bias (see bench_lightglue) —
+        # demonstrates early exit is proportional, and bounds the adaptive
+        # machinery's overhead vs the fixed-depth megakernel path
+        extra["lightglue_bf16_adaptive_exit3_1x1024_ms"] = round(
+            bench_lightglue(Precision.BF16, adaptive=True, force_exit_layer=3),
+            3,
+        )
+        extra["lightglue_bf16_adaptive_exit9_1x1024_ms"] = round(
+            bench_lightglue(Precision.BF16, adaptive=True, force_exit_layer=9),
+            3,
         )
         extra["lightglue_mixed_1x1024_ms"] = round(
             bench_lightglue(Precision.MIXED), 3
