@@ -44,17 +44,25 @@ def enable_compile_cache(cache_dir: str) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def export_matcher(session, out_dir: str) -> Dict[Tuple[int, int], str]:
+def export_matcher(
+    session, out_dir: str, batch: int = 1
+) -> Dict[Tuple[int, int], str]:
     """Serialize the match step for every bucket combination to StableHLO.
 
     Returns {bucket_pair: file_path}. Artifacts embed the weights as
     constants? No — weights stay an argument, so one artifact serves any
     checkpoint with the same shapes (unlike TRT engines, which bake weights).
+
+    NOTE: the artifact embeds the lowering for the platform it was exported
+    on — a CPU export bakes in the *interpret-mode* Pallas kernels and a TPU
+    export bakes the Mosaic custom calls; export on the platform you will
+    serve on (tests/test_aot.py covers the TPU round-trip under
+    LGTPU_TEST_TPU=1, including a fresh-process reload via
+    scripts/aot_reload_check.py).
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = {}
-    batch = 1
     for b0 in session.config.buckets:
         for b1 in session.config.buckets:
             fn = session._match_fn(b0, b1)
@@ -68,10 +76,26 @@ def export_matcher(session, out_dir: str) -> Dict[Tuple[int, int], str]:
                 jnp.zeros((batch,), jnp.int32),
             )
             exported = jax_export.export(fn)(*args)
-            path = out / f"match_{b0}x{b1}.stablehlo"
+            path = out / f"match_{b0}x{b1}_b{batch}.stablehlo"
             path.write_bytes(exported.serialize())
             paths[(b0, b1)] = str(path)
     return paths
+
+
+def export_extractor(
+    session, out_dir: str, image_hw: Tuple[int, int], batch: int = 1
+) -> str:
+    """Serialize the SuperPoint + extraction step (the superpoint.engine
+    analog) for a fixed image shape. Returns the artifact path."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    h, w = image_hw
+    fn = session._extract_fn(batch, h, w)
+    args = (session.sp_params, jnp.zeros((batch, h, w, 1), jnp.float32))
+    exported = jax_export.export(fn)(*args)
+    path = out / f"extract_{h}x{w}_b{batch}.stablehlo"
+    path.write_bytes(exported.serialize())
+    return str(path)
 
 
 def load_exported(path: str):
