@@ -19,6 +19,75 @@ def cm_RdGn(x) -> np.ndarray:
     return x * green + (1 - x) * red
 
 
+def cm_BlRdGn(x) -> np.ndarray:
+    """Diverging colormap: blue (-1) -> red (0) -> green (+1) RGBA.
+
+    Capability parity with the reference's pruning colormap
+    (viz2d.py:20-28); expressed here as a piecewise lerp between
+    anchor colors rather than the reference's two-sided blend.
+    """
+    x = np.asarray(x, np.float32)
+    red = np.array([1.0, 0.0, 0.0, 1.0], np.float32)
+    green = np.array([0.0, 1.0, 0.0, 1.0], np.float32)
+    blue = np.array([0.0, 0.1, 1.0, 1.0], np.float32)
+    pos = np.clip(x, 0, 1)[..., None]
+    neg = np.clip(-x, 0, 1)[..., None]
+    up = (1 - pos) * red + pos * green
+    down = (1 - neg) * red + neg * blue
+    return np.clip(np.where(x[..., None] < 0, down, up), 0, 1)
+
+
+def cm_prune(x, n_layers: int = 9) -> np.ndarray:
+    """Colormap for keypoint pruning state (viz2d.py:31-35 analog):
+    tokens surviving to the last observed layer show blue, earlier-pruned
+    tokens shade red (pruned at layer 1) to green (pruned late)."""
+    x = np.asarray(x, np.float32)
+    latest = x.max() if x.size else 1.0
+    normed = np.where(x == latest, -1.0, (x - 1) / max(n_layers, 1))
+    return cm_BlRdGn(normed)
+
+
+def add_text(
+    ax,
+    text: str,
+    pos=(0.01, 0.99),
+    fs: float = 15,
+    color="w",
+    lcolor="k",
+    lwidth: float = 2,
+):
+    """Outlined annotation in axes coordinates (viz2d.py:100-108 analog:
+    white text with a black stroke so it reads on any image)."""
+    import matplotlib.patheffects as path_effects
+
+    t = ax.text(
+        *pos, text, fontsize=fs, ha="left", va="top",
+        color=color, transform=ax.transAxes,
+    )
+    if lcolor is not None:
+        t.set_path_effects(
+            [
+                path_effects.Stroke(linewidth=lwidth, foreground=lcolor),
+                path_effects.Normal(),
+            ]
+        )
+    return t
+
+
+def plot_pruning(axes, kpts_list, prune_layers, n_layers: int = 9, ps=6.0):
+    """Visualize adaptive width pruning: scatter keypoints colored by the
+    layer each was pruned at (see models.lightglue.forward_adaptive) —
+    surviving keypoints blue, early-pruned red, late-pruned green.
+
+    ``prune_layers``: per-image arrays of the 1-based layer index at which
+    each keypoint was dropped (use the exit layer for survivors).
+    """
+    for ax, kpts, layers in zip(axes, kpts_list, prune_layers):
+        kpts = np.asarray(kpts)
+        colors = cm_prune(np.asarray(layers, np.float32), n_layers)
+        ax.scatter(kpts[:, 0], kpts[:, 1], c=colors, s=ps, linewidths=0)
+
+
 def plot_images(
     images: Sequence[np.ndarray],
     titles: Optional[Sequence[str]] = None,

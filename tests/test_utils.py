@@ -83,3 +83,38 @@ def test_convert_cli_roundtrip(tmp_path):
     assert tree["lightglue"]["layers"]["self_attn"]["qkv"]["w"].shape == (
         2, 3, 256, 256,
     )
+
+
+def test_cm_blrdgn_and_prune():
+    from lightglue_tpu.utils.viz import cm_BlRdGn, cm_prune
+    import numpy as np
+
+    c = cm_BlRdGn(np.array([-1.0, 0.0, 1.0]))
+    np.testing.assert_allclose(c[0], [0.0, 0.1, 1.0, 1.0], atol=1e-6)  # blue
+    np.testing.assert_allclose(c[1], [1.0, 0.0, 0.0, 1.0], atol=1e-6)  # red
+    np.testing.assert_allclose(c[2], [0.0, 1.0, 0.0, 1.0], atol=1e-6)  # green
+
+    # pruning map: survivors (latest layer) blue, layer-1 prunes red-ish
+    layers = np.array([9.0, 1.0, 5.0])
+    p = cm_prune(layers, n_layers=9)
+    np.testing.assert_allclose(p[0], [0.0, 0.1, 1.0, 1.0], atol=1e-6)
+    assert p[1][0] > 0.9 and p[1][1] < 0.1  # early prune ~ red
+
+
+def test_pruning_plot_renders(tmp_path, rng):
+    from lightglue_tpu.utils import viz
+    import numpy as np
+
+    im0 = rng.random((32, 48))
+    im1 = rng.random((32, 48))
+    fig, axes = viz.plot_images([im0, im1])
+    k0 = rng.uniform(0, 40, (20, 2))
+    k1 = rng.uniform(0, 40, (20, 2))
+    viz.plot_pruning(
+        axes, [k0, k1],
+        [rng.integers(1, 10, 20), rng.integers(1, 10, 20)], n_layers=9,
+    )
+    viz.add_text(axes[0], "exit layer 5 / pruned 37%")
+    out = tmp_path / "prune.png"
+    viz.save_plot(fig, str(out))
+    assert out.stat().st_size > 1000
