@@ -91,9 +91,11 @@ def _gelu_exact(xf):
 
 def _layer_stack_kernel(
     lens_ref,   # SMEM (B, 2) int32 true lengths per pair
-    x0_ref,     # VMEM (1, 2, N, E) input descriptors [img0; img1]
-    f_ref,      # VMEM (1, 2, 2, N, D) fp32 rope freqs [img][cos;sin]
-    *rest,      # weight refs (see _weight_args) then the output ref
+    d0_ref,     # VMEM (1, N0, E) input descriptors, image 0
+    d1_ref,     # VMEM (1, N1, E) input descriptors, image 1
+    f0_ref,     # VMEM (1, 2, N0, D) fp32 rope freqs [cos; sin], image 0
+    f1_ref,     # VMEM (1, 2, N1, D)
+    *rest,      # weight refs (see _weight_args) then the two output refs
     scale: float,
     num_heads: int,
     head_dim: int,
@@ -102,20 +104,22 @@ def _layer_stack_kernel(
     masked: bool,
     quantized: bool,
 ):
-    wrefs, out_ref = rest[:-1], rest[-1]
+    wrefs, out0_ref, out1_ref = rest[:-2], rest[-2], rest[-1]
     t = pl.program_id(0)
     l = pl.program_id(1)
-    n = x0_ref.shape[2]
-    e = x0_ref.shape[3]
+    n0 = d0_ref.shape[1]
+    n1 = d1_ref.shape[1]
+    e = d0_ref.shape[2]
     half = head_dim // 2
 
     @pl.when(l == 0)
     def _():
-        out_ref[...] = x0_ref[...]
+        out0_ref[...] = d0_ref[...]
+        out1_ref[...] = d1_ref[...]
 
-    x = out_ref[0]                      # (2, N, E)
-    dt = x.dtype
-    x2d = x.reshape(2 * n, e)           # images stacked on rows
+    x0 = out0_ref[0]                    # (N0, E)
+    x1 = out1_ref[0]                    # (N1, E)
+    dt = x0.dtype
 
     # walk the flat ref list in the exact order _weight_args produced it;
     # int8 weights carry a per-output-channel fp32 scale ref after w_q
@@ -163,9 +167,14 @@ def _layer_stack_kernel(
 
     if masked:
         lens = (lens_ref[t, 0], lens_ref[t, 1])
-        cols_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        out_rows = jax.lax.broadcasted_iota(jnp.int32, (n, head_dim), 0)
+        cols0 = jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 1)
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 1)
+        cross_cols = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
+        cross_rows = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+        out_rows0 = jax.lax.broadcasted_iota(jnp.int32, (n0, head_dim), 0)
+        out_rows1 = jax.lax.broadcasted_iota(jnp.int32, (n1, head_dim), 0)
+        self_cols = (cols0, cols1)
+        out_rows = (out_rows0, out_rows1)
 
     def _linear(v, lin):
         """v @ w + b with fp32 accumulation, result in the activation dtype."""
@@ -173,14 +182,14 @@ def _layer_stack_kernel(
         y = _dot(v, wfn()).astype(dt)
         return y + b_ref[0].astype(dt)
 
-    def _rope(v, img):
-        cos = f_ref[0, img, 0].astype(dt)   # (N, D) tiled per-half freqs
-        sin = f_ref[0, img, 1].astype(dt)
+    def _rope(v, f_ref):
+        cos = f_ref[0, 0].astype(dt)   # (N, D) tiled per-half freqs
+        sin = f_ref[0, 1].astype(dt)
         rot = jnp.concatenate([-v[:, half:], v[:, :half]], axis=-1)
         return v * cos + rot * sin
 
     def _ffn(xin, message, lin1, g_ref, bn_ref, lin2):
-        h = jnp.concatenate([xin, message], axis=-1)     # (2N, 2E)
+        h = jnp.concatenate([xin, message], axis=-1)     # (N, 2E)
         h = _linear(h, lin1)
         hf = h.astype(jnp.float32)
         mean = jnp.mean(hf, axis=-1, keepdims=True)
@@ -195,29 +204,35 @@ def _layer_stack_kernel(
         return xin + _linear(act, lin2)
 
     # ---- self-attention block (reference lightglue.py:118-152) ----------
+    # each image runs its own projections: (N, E) @ (E, E) keeps the MXU
+    # saturated at every bucket size, and separate rows are what lets the
+    # two buckets DIFFER (mixed 256x512 pairs run here, not on the ~1.6x
+    # slower per-block fallback)
     qkv_w = sqkv_w()                     # (3, E, E) component-major, dt
-    q_all = _dot(x2d, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
-    k_all = _dot(x2d, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
-    v_all = _dot(x2d, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
-
-    ctx_imgs = []
+    xs = (x0, x1)
+    frefs = (f0_ref, f1_ref)
+    new_xs = []
     for img in range(2):
-        r0 = img * n
-        q_img = q_all[r0 : r0 + n, :]
-        k_img = k_all[r0 : r0 + n, :]
-        v_img = v_all[r0 : r0 + n, :]
+        xi = xs[img]
+        q_img = _dot(xi, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
+        k_img = _dot(xi, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
+        v_img = _dot(xi, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
         heads = []
         for h in range(num_heads):
             c0 = h * head_dim
             # attention operands run in attn_dtype (MIXED: fp32 activations
             # with bf16 attention inputs, mirroring the plugin's internal
             # fp32->fp16 downcast, lightglue_attention_plugin.cpp:222-267)
-            q_h = _rope(q_img[:, c0 : c0 + head_dim].astype(attn_dtype), img)
-            k_h = _rope(k_img[:, c0 : c0 + head_dim].astype(attn_dtype), img)
+            q_h = _rope(
+                q_img[:, c0 : c0 + head_dim].astype(attn_dtype), frefs[img]
+            )
+            k_h = _rope(
+                k_img[:, c0 : c0 + head_dim].astype(attn_dtype), frefs[img]
+            )
             v_h = v_img[:, c0 : c0 + head_dim].astype(attn_dtype)
             s = _quant(_dot(q_h, k_h, contract=((1,), (1,))) * scale)
             if masked:
-                s = jnp.where(cols_iota < lens[img], s, _NEG_INF)
+                s = jnp.where(self_cols[img] < lens[img], s, _NEG_INF)
             m = _quant(jnp.max(s, axis=1, keepdims=True))
             p = _quant(jnp.exp(s - m))
             lsum = _quant(jnp.sum(p, axis=1, keepdims=True))
@@ -225,74 +240,73 @@ def _layer_stack_kernel(
                 lsum == 0.0, 1.0, lsum
             )
             if masked:
-                o = jnp.where(out_rows < lens[img], o, 0.0)
+                o = jnp.where(out_rows[img] < lens[img], o, 0.0)
             heads.append(o.astype(dt))
-        ctx_imgs.append(jnp.concatenate(heads, axis=-1))  # (N, E)
-    ctx = jnp.concatenate(ctx_imgs, axis=0)               # (2N, E)
-    message = _linear(ctx, sout)
-    x2d = _ffn(x2d, message, sffn1, sln_g, sln_b, sffn2)
+        ctx = jnp.concatenate(heads, axis=-1)  # (N, E)
+        message = _linear(ctx, sout)
+        new_xs.append(_ffn(xi, message, sffn1, sln_g, sln_b, sffn2))
+    x0, x1 = new_xs
 
     # ---- cross-attention block (reference lightglue.py:168-205) ----------
-    qk_all = _linear(x2d, cqk)
-    v_all = _linear(x2d, cv)
+    qk0_all = _linear(x0, cqk)
+    qk1_all = _linear(x1, cqk)
+    v0_all = _linear(x0, cv)
+    v1_all = _linear(x1, cv)
     m0_heads, m1_heads = [], []
     for h in range(num_heads):
         c0 = h * head_dim
-        qk0 = qk_all[:n, c0 : c0 + head_dim].astype(attn_dtype)
-        qk1 = qk_all[n:, c0 : c0 + head_dim].astype(attn_dtype)
-        v0 = v_all[:n, c0 : c0 + head_dim].astype(attn_dtype)
-        v1 = v_all[n:, c0 : c0 + head_dim].astype(attn_dtype)
+        qk0 = qk0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+        qk1 = qk1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+        v0 = v0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+        v1 = v1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
         # shared similarity matrix, computed once; direction 1->0 rides its
         # transpose as a free contraction-axis choice on the MXU
-        s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)
+        s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)  # (N0, N1)
 
         # normalization by the softmax denominator happens AFTER the PV
         # matmul on the (N, D) output, not on the (N, N) probability matrix
         # — 16x fewer VPU divides at D=64 (same algebra: l is constant along
         # the contraction)
-        s_row = jnp.where(cols_iota < lens[1], s, _NEG_INF) if masked else s
+        s_row = jnp.where(cross_cols < lens[1], s, _NEG_INF) if masked else s
         m0s = _quant(jnp.max(s_row, axis=1, keepdims=True))
         p0 = _quant(jnp.exp(s_row - m0s))
-        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N, 1)
+        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N0, 1)
         o0 = _dot(p0.astype(attn_dtype), v1) / jnp.where(l0 == 0.0, 1.0, l0)
 
-        s_col = jnp.where(rows_iota < lens[0], s, _NEG_INF) if masked else s
+        s_col = jnp.where(cross_rows < lens[0], s, _NEG_INF) if masked else s
         m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
         p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
-        # column sums in (N, 1) orientation via a ones-vector contraction on
-        # the MXU — a (1, N) keepdims sum would need a cross-lane relayout
-        # to divide the (N, D) output
+        # column sums in (N1, 1) orientation via a ones-vector contraction on
+        # the MXU — a (1, N1) keepdims sum would need a cross-lane relayout
+        # to divide the (N1, D) output
         l1 = _quant(
-            _dot(p1, jnp.ones((n, 1), attn_dtype), contract=((0,), (0,)))
+            _dot(p1, jnp.ones((n0, 1), attn_dtype), contract=((0,), (0,)))
         )
         o1 = _dot(p1, v0, contract=((0,), (0,)))
         o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
 
         if masked:
-            o0 = jnp.where(out_rows < lens[0], o0, 0.0)
-            o1 = jnp.where(out_rows < lens[1], o1, 0.0)
+            o0 = jnp.where(out_rows[0] < lens[0], o0, 0.0)
+            o1 = jnp.where(out_rows[1] < lens[1], o1, 0.0)
         m0_heads.append(o0.astype(dt))
         m1_heads.append(o1.astype(dt))
-    ctx = jnp.concatenate(
-        [
-            jnp.concatenate(m0_heads, axis=-1),
-            jnp.concatenate(m1_heads, axis=-1),
-        ],
-        axis=0,
-    )
-    message = _linear(ctx, cout)
-    x2d = _ffn(x2d, message, cffn1, cln_g, cln_b, cffn2)
+    m0 = _linear(jnp.concatenate(m0_heads, axis=-1), cout)
+    m1 = _linear(jnp.concatenate(m1_heads, axis=-1), cout)
+    x0 = _ffn(x0, m0, cffn1, cln_g, cln_b, cffn2)
+    x1 = _ffn(x1, m1, cffn1, cln_g, cln_b, cffn2)
 
-    out_ref[...] = x2d.reshape(1, 2, n, e)
+    out0_ref[...] = x0[None]
+    out1_ref[...] = x1[None]
 
 
 def supports(layers_params, n0: int, n1: int, act_dtype, tp_axis) -> bool:
-    """Gate: the megakernel handles the fixed-depth, equal-bucket, non-TP
-    path (bf16, fp32-activation MIXED/FP32, or int8-weight-only);
-    everything else falls back to the per-block kernels."""
-    if tp_axis is not None or n0 != n1:
+    """Gate: the megakernel handles the fixed-depth, non-TP path (bf16,
+    fp32-activation MIXED/FP32, or int8-weight-only), INCLUDING mixed
+    buckets (n0 != n1 — e.g. a 256x512 pair); everything else falls back to
+    the per-block kernels."""
+    if tp_axis is not None:
         return False
-    if n0 > MAX_SEQ or n0 % 128:
+    if max(n0, n1) > MAX_SEQ or n0 % 128 or n1 % 128:
         return False
     return jnp.dtype(act_dtype) in (jnp.bfloat16, jnp.float32)
 
@@ -354,14 +368,15 @@ def transformer_stack(
 
     Args:
       layers_params: the ``params["layers"]`` pytree (leading layer axis L).
-      d0/d1: (B, N, E) descriptors for both images (equal N).
+      d0/d1: (B, N0, E) / (B, N1, E) descriptors (buckets may differ).
       freqs0/freqs1: (B, 2, N, D) fp32 rope [cos; sin] (tiled per-half).
       lengths0/lengths1: optional (B,) true keypoint counts.
 
     Returns:
-      (d0', d1'): (B, N, E) after all layers.
+      (d0', d1'): same shapes after all layers.
     """
-    b, n, e = d0.shape
+    b, n0, e = d0.shape
+    n1 = d1.shape[1]
     n_layers = layers_params["self_attn"]["ln_g"].shape[0]
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
@@ -376,9 +391,8 @@ def transformer_stack(
             [lengths0.astype(jnp.int32), lengths1.astype(jnp.int32)], axis=-1
         )
 
-    x = jnp.stack([d0, d1], axis=1)                 # (B, 2, N, E)
-    freqs = jnp.stack([freqs0, freqs1], axis=1)     # (B, 2, 2, N, D)
-    freqs = freqs.astype(jnp.float32)
+    freqs0 = freqs0.astype(jnp.float32)
+    freqs1 = freqs1.astype(jnp.float32)
 
     quantized = "w_q" in layers_params["self_attn"]["qkv"]
     weight_args = tuple(_weight_args(layers_params, quantized))
@@ -403,15 +417,18 @@ def transformer_stack(
     )
 
     # per pair per layer: 7 ExE projections + 2 FFNs + self/cross attention
+    nsum = n0 + n1
     proj_flops = (
-        2 * (2 * n) * e * e * 7
-        + 2 * (2 * (2 * n) * (2 * e) * (2 * e) + 2 * (2 * n) * (2 * e) * e)
+        2 * nsum * e * e * 7
+        + 2 * (2 * nsum * (2 * e) * (2 * e) + 2 * nsum * (2 * e) * e)
     )
-    attn_flops = 2 * num_heads * n * n * head_dim * (2 * 2 + 3)
+    attn_flops = num_heads * head_dim * (
+        (n0 * n0 + n1 * n1) * (2 * 2 + 3) + n0 * n1 * (2 * 2 + 3)
+    )
     flops = b * n_layers * (proj_flops + attn_flops)
     weight_bytes = sum(a.size * a.dtype.itemsize for a in weight_args)
 
-    out = pl.pallas_call(
+    out0, out1 = pl.pallas_call(
         kernel,
         grid=(b, n_layers),
         in_specs=[
@@ -419,27 +436,46 @@ def transformer_stack(
                 (b, 2), lambda t, l: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 2, n, e),
+                (1, n0, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n1, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2, n0, head_dim),
                 lambda t, l: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 2, 2, n, head_dim),
-                lambda t, l: (t, 0, 0, 0, 0),
+                (1, 2, n1, head_dim),
+                lambda t, l: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         + [_wspec(a) for a in weight_args],
-        out_specs=pl.BlockSpec(
-            (1, 2, n, e), lambda t, l: (t, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 2, n, e), d0.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, n0, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n1, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n0, e), d0.dtype),
+            jax.ShapeDtypeStruct((b, n1, e), d1.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * x.size * x.dtype.itemsize
+            bytes_accessed=2
+            * (d0.size + d1.size)
+            * d0.dtype.itemsize
             + b * weight_bytes
-            + freqs.size * 4,
-            transcendentals=b * n_layers * 4 * num_heads * n * n,
+            + (freqs0.size + freqs1.size) * 4,
+            transcendentals=b
+            * n_layers
+            * num_heads
+            * (n0 * n0 + n1 * n1 + 2 * n0 * n1),
         ),
         # the default 16 MB scoped-vmem cap is too small for the resident
         # activations + double-buffered weights + one fp32 S tile (~23 MB
@@ -452,5 +488,5 @@ def transformer_stack(
             * 1024
         ),
         interpret=_interpret(),
-    )(lens, x, freqs, *weight_args)
-    return out[:, 0], out[:, 1]
+    )(lens, d0, d1, freqs0, freqs1, *weight_args)
+    return out0, out1

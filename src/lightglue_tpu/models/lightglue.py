@@ -700,25 +700,52 @@ def _forward_adaptive_impl(
     def cond(s):
         return (s["i"] < n_layers) & ~jnp.all(s["stopped"])
 
+    use_stack = layer_stack.supports(
+        params["layers"], m, n, act, None
+    )
+
     def body(s):
         i = s["i"]
-        layer_p = jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            params["layers"],
-        )
-        nd0, nd1 = transformer_layer(
-            layer_p,
-            s["d0"],
-            s["d1"],
-            s["freqs0"],
-            s["freqs1"],
-            s["len0"],
-            s["len1"],
-            num_heads,
-            policy,
-            None,
-            ffn_dim,
-        )
+        if use_stack:
+            # one megakernel invocation per adaptive step: the whole layer
+            # body (projections, rotary, bidirectional cross, FFNs) stays
+            # VMEM-resident, with the layer's weights sliced dynamically —
+            # the adaptive loop no longer pays the per-block fallback
+            layer_p = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, i, 1, 0),
+                params["layers"],
+            )
+            nd0, nd1 = layer_stack.transformer_stack(
+                layer_p,
+                s["d0"],
+                s["d1"],
+                s["freqs0"],
+                s["freqs1"],
+                s["len0"],
+                s["len1"],
+                num_heads=num_heads,
+                head_dim=config.head_dim,
+                stat_dtype=policy.attn_stat_dtype,
+                attn_dtype=policy.attn_in_dtype,
+            )
+        else:
+            layer_p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+                params["layers"],
+            )
+            nd0, nd1 = transformer_layer(
+                layer_p,
+                s["d0"],
+                s["d1"],
+                s["freqs0"],
+                s["freqs1"],
+                s["len0"],
+                s["len1"],
+                num_heads,
+                policy,
+                None,
+                ffn_dim,
+            )
         # freeze pairs that already exited
         live = ~s["stopped"]
         nd0 = jnp.where(live[:, None, None], nd0, s["d0"])

@@ -196,7 +196,48 @@ def test_supports_gate():
     layers = params["layers"]
     assert layer_stack.supports(layers, 256, 256, jnp.bfloat16, None)
     assert layer_stack.supports(layers, 256, 256, jnp.float32, None)
-    assert not layer_stack.supports(layers, 256, 512, jnp.bfloat16, None)
+    # mixed buckets supported since r2 (separate per-image activation refs)
+    assert layer_stack.supports(layers, 256, 512, jnp.bfloat16, None)
+    assert layer_stack.supports(layers, 512, 1024, jnp.bfloat16, None)
     assert not layer_stack.supports(layers, 2048, 2048, jnp.bfloat16, None)
     assert not layer_stack.supports(layers, 192, 192, jnp.bfloat16, None)
     assert not layer_stack.supports(layers, 256, 256, jnp.bfloat16, "model")
+
+
+@pytest.mark.parametrize("ragged", [False, True])
+def test_stack_mixed_buckets_matches_scan(ragged):
+    """n0 != n1 (a 256x512 pair) runs through the megakernel since r2 and
+    must match the per-block scan path."""
+    b, n0, n1, n_layers = 2, 128, 256, 2
+    config, policy, params, kpts0, kpts1, d0, d1 = _setup(b, n1, n_layers)
+    kpts0, d0 = kpts0[:, :n0], d0[:, :n0]
+    if ragged:
+        lens0 = jnp.asarray([n0, 70], jnp.int32)
+        lens1 = jnp.asarray([150, n1], jnp.int32)
+    else:
+        lens0 = jnp.full((b,), n0, jnp.int32)
+        lens1 = jnp.full((b,), n1, jnp.int32)
+    freqs0 = lightglue.posenc(params["posenc"], kpts0, config.head_dim)
+    freqs1 = lightglue.posenc(params["posenc"], kpts1, config.head_dim)
+    assert layer_stack.supports(params["layers"], n0, n1, d0.dtype, None)
+
+    with jax.default_matmul_precision(policy.matmul_precision):
+        ref0, ref1 = _scan_path(
+            params, d0, d1, freqs0, freqs1, lens0, lens1, config, policy
+        )
+        got0, got1 = layer_stack.transformer_stack(
+            params["layers"], d0, d1, freqs0, freqs1, lens0, lens1,
+            num_heads=config.num_heads,
+            head_dim=config.head_dim,
+            stat_dtype=policy.attn_stat_dtype,
+        )
+
+    for ref, got, lens in ((ref0, got0, lens0), (ref1, got1, lens1)):
+        ref = np.asarray(ref, np.float32)
+        got = np.asarray(got, np.float32)
+        for i in range(b):
+            r, g = ref[i, : int(lens[i])], got[i, : int(lens[i])]
+            scale = np.abs(r).max()
+            assert np.abs(r - g).max() <= 0.02 * scale, (
+                np.abs(r - g).max(), scale,
+            )
