@@ -1,0 +1,160 @@
+"""Per-shape A/B: kernels/conv.py conv3x3 vs XLA conv, SuperPoint stages."""
+from _timing import timed
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightglue_tpu.kernels import conv as ck
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+SHAPES = [  # (name, h, w, cin, cout, pool)
+    ("conv1b+pool", 480, 640, 64, 64, True),
+    ("conv2a", 240, 320, 64, 64, False),
+    ("conv2b+pool", 240, 320, 64, 64, True),
+    ("conv3a", 120, 160, 64, 128, False),
+    ("conv3b+pool", 120, 160, 128, 128, True),
+    ("conv4a", 60, 80, 128, 128, False),
+    ("convPa", 60, 80, 128, 256, False),
+]
+
+
+def xla_ref(x, w, b, pool):
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.nn.relu((out + b).astype(x.dtype))
+    if pool:
+        out = jax.lax.reduce_window(
+            out, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+    return out
+
+
+def run(name, h, w, cin, cout, pool, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32), dtype)
+    wts = jnp.asarray((rng.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    def make(fn):
+        def make_fn(iters):
+            @jax.jit
+            def runit(x, wts, b):
+                def body(carry, _):
+                    xi = x + carry.astype(x.dtype) * 1e-30
+                    o = fn(xi, wts, b)
+                    return o[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    t_pallas = timed(make(lambda x, w_, b_: ck.conv3x3(x, w_, b_, relu=True, pool=pool)), x, wts, b)
+    t_xla = timed(make(lambda x, w_, b_: xla_ref(x, w_, b_, pool)), x, wts, b)
+    gf = 2 * h * w * cin * cout * 9 / 1e9
+    print(f"{name:12s}: pallas {t_pallas:7.3f} ms ({gf/t_pallas:6.1f} TF)  "
+          f"xla {t_xla:7.3f} ms ({gf/t_xla:6.1f} TF)", flush=True)
+
+
+import sys as _sys
+
+if __name__ == "__main__" and (len(_sys.argv) < 2 or _sys.argv[1] == "direct"):
+    for spec in SHAPES:
+        run(*spec)
+    _sys.exit(0)
+
+
+def run_paired(name, h, w, cin, cout, pool, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32), dtype)
+    wts = jnp.asarray((rng.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    def make(fn):
+        def make_fn(iters):
+            @jax.jit
+            def runit(x, wts, b):
+                def body(carry, _):
+                    xi = x + carry.astype(x.dtype) * 1e-30
+                    o = fn(xi, wts, b)
+                    return o[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    t = timed(make(lambda x, w_, b_: ck.conv3x3_paired(x, w_, b_, relu=True, pool=pool)), x, wts, b)
+    gf = 2 * h * w * cin * cout * 9 / 1e9
+    print(f"{name:12s}: paired {t:7.3f} ms ({gf/t:6.1f} TF)", flush=True)
+
+
+if len(_sys.argv) > 1 and _sys.argv[1] == "paired":
+    run_paired("conv1b+pool", 480, 640, 64, 64, True)
+    run_paired("conv2a", 240, 320, 64, 64, False)
+    run_paired("conv2b+pool", 240, 320, 64, 64, True)
+    # reshape-only cost: pair + unpair round trip
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 480, 640, 64)).astype(np.float32), jnp.bfloat16)
+    def make_fn(iters):
+        @jax.jit
+        def runit(x):
+            def body(carry, _):
+                xi = x + carry.astype(x.dtype) * 1e-30
+                xr = xi.reshape(1, 480, 320, 128)
+                o = (xr * 2).reshape(1, 480, 640, 64)
+                return o[0, 0, 0, 0].astype(jnp.float32), ()
+            return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return runit
+    print(f"pair-reshape roundtrip: {timed(make_fn, x):7.3f} ms", flush=True)
+    _sys.exit(0)
+
+
+if len(_sys.argv) > 1 and _sys.argv[1] == "chain":
+    from lightglue_tpu.models import superpoint as spm
+    from lightglue_tpu.runtime import weights as wlib
+    from lightglue_tpu.config import PipelineConfig
+    from lightglue_tpu.precision import Precision, policy_for
+
+    config = PipelineConfig(precision=Precision.BF16)
+    policy = policy_for(config.precision)
+    params = wlib.to_jax(wlib.init_superpoint(0, config.superpoint))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 480, 640, 1), dtype=np.float32))
+
+    def chain(img, mode):
+        x = spm._relu_conv1a_shift(params["conv1a"], img.astype(jnp.bfloat16))
+        if "barrier" in mode:
+            x = jax.lax.optimization_barrier(x)
+        if "paired" in mode:
+            x = ck.conv3x3_paired(x, params["conv1b"]["w"], params["conv1b"]["b"], pool=True)
+            x = ck.conv3x3_paired(x, params["conv2a"]["w"], params["conv2a"]["b"], out_paired=True)
+            x = ck.conv3x3_paired(x, params["conv2b"]["w"], params["conv2b"]["b"], x_paired=True, pool=True)
+        else:
+            x = spm._relu_conv(params["conv1b"], x, pool=True)
+            x = spm._relu_conv(params["conv2a"], x)
+            x = spm._relu_conv(params["conv2b"], x, pool=True)
+        return x
+
+    def make(mode, tail):
+        def make_fn(iters):
+            @jax.jit
+            def runit(img):
+                def body(carry, _):
+                    xi = img + carry * 1e-30
+                    x = chain(xi, mode)
+                    if tail:
+                        x = spm._relu_conv(params["conv3a"], x)
+                        x = spm._relu_conv(params["conv3b"], x, pool=True)
+                        x = spm._relu_conv(params["conv4a"], x)
+                        x = spm._relu_conv(params["conv4b"], x)
+                    return x[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    for mode in ("paired_barrier", "paired", "xla"):
+        for tail in (False, True):
+            t = timed(make(mode, tail), img)
+            print(f"stem[{mode:15s}] tail={tail}: {t:7.3f} ms", flush=True)
+    _sys.exit(0)

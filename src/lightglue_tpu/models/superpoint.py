@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from lightglue_tpu.config import SuperPointConfig
+from lightglue_tpu.kernels import conv as conv_kernel
 from lightglue_tpu.kernels.nms import simple_nms
 from lightglue_tpu.precision import DTypePolicy
 
@@ -40,8 +41,16 @@ def _conv(p, x: jax.Array, *, same: bool = True) -> jax.Array:
     return (out + p["b"]).astype(x.dtype)
 
 
-def _relu_conv(p, x: jax.Array) -> jax.Array:
-    return jax.nn.relu(_conv(p, x))
+def _relu_conv(p, x: jax.Array, pool: bool = False) -> jax.Array:
+    """3x3 conv + ReLU [+ 2x2 maxpool], XLA path.
+
+    XLA's conv lowering runs at full MXU rate once C_out >= 128 (measured
+    136+ TFLOPs at conv3b/conv4x, scripts/bench_conv_ab.py), so stages 3-4
+    and the heads stay here; the C=64 layers route through the
+    paired-column Pallas kernel in ``_forward_impl`` instead (both the XLA
+    conv and a direct tap-matmul kernel cap at ~30 TFLOPs there)."""
+    out = jax.nn.relu(_conv(p, x))
+    return _max_pool_2x2(out) if pool else out
 
 
 def _relu_conv1a_shift(p, x: jax.Array) -> jax.Array:
@@ -134,16 +143,45 @@ def forward_raw_descriptors(
 def _forward_impl(params, image, *, config, policy):
     x = image.astype(policy.act_dtype)
 
-    # Shared encoder (reference superpoint.py:143-153).
+    # Shared encoder (reference superpoint.py:143-153). The C=64 layers
+    # (conv1b..conv2b — 65% of the model's FLOPs at full resolution) run as
+    # paired-column Pallas matmuls (kernels/conv.py:conv3x3_paired): a
+    # direct 64-channel conv caps at ~30 TFLOPs on the MXU (half output
+    # width x half contraction depth) for XLA and hand-written kernels
+    # alike; pairing adjacent columns makes every tap a full (128, 128)
+    # matmul. conv2a's paired output feeds conv2b without unpairing, and
+    # the 2x2 pools fuse into the kernels (the column half is a lane-halves
+    # max), so full-resolution activations never round-trip HBM.
     x = _relu_conv1a_shift(params["conv1a"], x)
-    x = _relu_conv(params["conv1b"], x)
-    x = _max_pool_2x2(x)
-    x = _relu_conv(params["conv2a"], x)
-    x = _relu_conv(params["conv2b"], x)
-    x = _max_pool_2x2(x)
+    b_, h0, w0, _ = x.shape
+    if conv_kernel.supports_paired(
+        h0, w0, 64, 64, x.dtype
+    ) and conv_kernel.supports_paired(h0 // 2, w0 // 2, 64, 64, x.dtype):
+        # REQUIRED: without this barrier XLA sinks conv1a's 9-tap sum into
+        # the pallas-call pad boundary and materializes every tap broadcast
+        # separately at full resolution in fp32 — ~700 MB of layout copies,
+        # 2.6 ms instead of 0.75 for the stem (measured,
+        # scripts/bench_conv_ab.py chain)
+        x = jax.lax.optimization_barrier(x)
+        x = conv_kernel.conv3x3_paired(
+            x, params["conv1b"]["w"], params["conv1b"]["b"], pool=True
+        )
+        x = conv_kernel.conv3x3_paired(
+            x, params["conv2a"]["w"], params["conv2a"]["b"], out_paired=True
+        )
+        x = conv_kernel.conv3x3_paired(
+            x,
+            params["conv2b"]["w"],
+            params["conv2b"]["b"],
+            x_paired=True,
+            pool=True,
+        )
+    else:
+        x = _relu_conv(params["conv1b"], x, pool=True)
+        x = _relu_conv(params["conv2a"], x)
+        x = _relu_conv(params["conv2b"], x, pool=True)
     x = _relu_conv(params["conv3a"], x)
-    x = _relu_conv(params["conv3b"], x)
-    x = _max_pool_2x2(x)
+    x = _relu_conv(params["conv3b"], x, pool=True)
     x = _relu_conv(params["conv4a"], x)
     x = _relu_conv(params["conv4b"], x)
 

@@ -133,3 +133,96 @@ def test_whiten_superpoint_descriptors(rng):
     after = median_abs_cos(wparams, img)
     assert before > 0.99, before  # the collapse is real
     assert after < 0.35, after    # whitening restores diversity
+
+
+def test_conv3x3_kernel_matches_xla(rng):
+    """Pallas tap-matmul conv (kernels/conv.py) vs lax conv, with and
+    without the fused pool, at a qualifying shape."""
+    import jax
+    import jax.numpy as jnp
+    from lightglue_tpu.kernels import conv as conv_kernel
+
+    b, h, w, cin, cout = 2, 16, 32, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    wts = jnp.asarray(
+        (rng.standard_normal((3, 3, cin, cout)) * 0.2).astype(np.float32)
+    )
+    bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    assert conv_kernel.supports(h, w, cin, cout, x.dtype)
+
+    ref = jax.lax.conv_general_dilated(
+        x, wts, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    ref_relu = jax.nn.relu(ref)
+    got = conv_kernel.conv3x3(x, wts, bias, relu=True, pool=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_relu), rtol=1e-5, atol=1e-5
+    )
+
+    ref_pool = jax.lax.reduce_window(
+        ref_relu, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    got_pool = conv_kernel.conv3x3(x, wts, bias, relu=True, pool=True)
+    np.testing.assert_allclose(
+        np.asarray(got_pool), np.asarray(ref_pool), rtol=1e-5, atol=1e-5
+    )
+
+    # no-relu variant (heads use conv without activation)
+    got_lin = conv_kernel.conv3x3(x, wts, bias, relu=False, pool=False)
+    np.testing.assert_allclose(
+        np.asarray(got_lin), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_conv3x3_paired_matches_xla(rng):
+    """Paired-column conv (space-to-depth-2 block matmuls) vs lax conv,
+    including the fused pool, the paired-output chaining, and parity with
+    the direct kernel."""
+    import jax
+    import jax.numpy as jnp
+    from lightglue_tpu.kernels import conv as conv_kernel
+
+    b, h, w, c = 2, 8, 32, 64
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    assert conv_kernel.supports_paired(h, w, c, c, x.dtype)
+
+    def xla(x, wts, bias, pool):
+        o = jax.lax.conv_general_dilated(
+            x, wts, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        o = jax.nn.relu(o + bias)
+        if pool:
+            o = jax.lax.reduce_window(
+                o, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        return o
+
+    # single conv, no pool
+    got = conv_kernel.conv3x3_paired(x, w1, b1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(xla(x, w1, b1, False)), rtol=1e-5,
+        atol=1e-5,
+    )
+    # single conv + fused pool
+    got_p = conv_kernel.conv3x3_paired(x, w1, b1, pool=True)
+    np.testing.assert_allclose(
+        np.asarray(got_p), np.asarray(xla(x, w1, b1, True)), rtol=1e-5,
+        atol=1e-5,
+    )
+    # chained: conv (paired out) -> conv (paired in, pooled out)
+    mid = conv_kernel.conv3x3_paired(x, w1, b1, out_paired=True)
+    got_c = conv_kernel.conv3x3_paired(
+        mid, w2, b2, x_paired=True, pool=True
+    )
+    want_c = xla(xla(x, w1, b1, False), w2, b2, True)
+    np.testing.assert_allclose(
+        np.asarray(got_c), np.asarray(want_c), rtol=1e-5, atol=1e-5
+    )
