@@ -19,7 +19,9 @@ Axis roles for this workload (and why the classic LLM axes do not appear):
   bubble latency for zero memory relief.
 - expert parallelism: no MoE in the architecture.
 - sequence parallelism: max 1024 keypoints fits one chip by orders of
-  magnitude (SURVEY.md §5 long-context note); ring attention is unnecessary.
+  magnitude (SURVEY.md §5 long-context note), so it is off the hot path;
+  for beyond-chip sequences ``parallel/ring.py`` provides ppermute ring
+  attention with the same masking/online-softmax contract as the kernels.
 
 The sharded step uses ``shard_map`` (not auto-sharding) so the Pallas
 attention kernel runs per-device on its local heads with explicit psums —

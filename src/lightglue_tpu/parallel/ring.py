@@ -1,0 +1,168 @@
+"""Ring attention: sequence parallelism over a mesh axis.
+
+The reference caps sequences at 2048 on one GPU
+(lightglue_attention_plugin.h:21) and has no multi-device path of any kind
+(SURVEY.md §2.5) — this module is the TPU-native answer for keypoint counts
+beyond one chip: shard the sequence over a ``seq`` mesh axis and rotate K/V
+blocks around the ring with ``lax.ppermute`` while each device accumulates
+its Q stripe with the same online-softmax recurrence the Pallas kernel uses
+in-VMEM (kernels/attention.py). The collective-permute for step s+1 is
+independent of step s's matmuls, so XLA's latency-hiding scheduler overlaps
+ICI transfer with MXU compute — the scaling-book pattern, not a port.
+
+Exactness: the online merge is algebraically exact (same fp32 statistics as
+the single-device kernel); tests compare against
+``kernels.attention.reference_attention`` on the 8-device CPU mesh.
+
+Masking follows the repo contract: ``lengths`` (B, 2) true (len_q, len_kv);
+padded KV columns contribute -inf before softmax, padded Q rows emit zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_SEQ = "seq"
+
+_NEG_INF = -1e30
+
+
+def _dot(a, b, contract):
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(a.dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def ring_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: Optional[jax.Array],
+    *,
+    axis_name: str,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Per-shard body — call inside ``shard_map`` (or any SPMD context).
+
+    Args:
+      q: (B, H, n, D) local Q stripe (n = N_q / ring size).
+      k, v: (B, H, nk, D) local K/V blocks (nk = N_kv / ring size).
+      lengths: optional (B, 2) GLOBAL true (len_q, len_kv).
+      axis_name: mesh axis the sequence is sharded over.
+
+    Returns:
+      (B, H, n, D) attention output for the local Q stripe.
+    """
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    ring = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+
+    qf = q.astype(jnp.float32) * scale
+    m = jnp.full((b, h, n, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, n, 1), jnp.float32)
+    acc = jnp.zeros((b, h, n, d), jnp.float32)
+
+    # Unrolled: step s computes on the block that ORIGINATED at device
+    # (idx - s) mod ring while the ppermute for step s+1 is already in
+    # flight — XLA schedules the collective-permute-start before the
+    # matmuls it does not depend on.
+    for s in range(ring):
+        src = (idx - s) % ring
+        col0 = src * nk
+        sij = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            qf,
+            k.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if lengths is not None:
+            cols = col0 + jnp.arange(nk)  # (nk,) global column ids
+            valid = cols[None, :] < lengths[:, 1][:, None]  # (B, nk)
+            sij = jnp.where(valid[:, None, None, :], sij, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(sij, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(sij - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            p,
+            v.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m = m_new
+        if s + 1 < ring:
+            k = jax.lax.ppermute(k, axis_name, perm)
+            v = jax.lax.ppermute(v, axis_name, perm)
+
+    out = acc / jnp.where(l == 0.0, 1.0, l)
+    if lengths is not None:
+        rows = idx * n + jnp.arange(n)  # global row ids of this Q stripe
+        valid_q = rows[None, :] < lengths[:, 0][:, None]  # (B, n)
+        out = jnp.where(valid_q[:, None, :, None], out, 0.0)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "scale"))
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis_name: str = AXIS_SEQ,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Sequence-parallel attention over ``mesh[axis_name]``.
+
+    Drop-in for ``reference_attention`` when N exceeds one chip: Q rows and
+    K/V rows are sharded on the sequence dim; weights/statistics never
+    materialize the full (N_q, N_kv) similarity anywhere.
+
+    Args:
+      q: (B, H, N_q, D); N_q divisible by the ring size.
+      k, v: (B, H, N_kv, D); N_kv divisible by the ring size.
+      lengths: optional (B, 2) global true (len_q, len_kv).
+
+    Returns:
+      (B, H, N_q, D), sharded like q.
+    """
+    ring = mesh.shape[axis_name]
+    if q.shape[2] % ring or k.shape[2] % ring:
+        raise ValueError(
+            f"sequence dims {q.shape[2]}/{k.shape[2]} must divide the "
+            f"ring size {ring}"
+        )
+    spec = P(None, None, axis_name, None)
+    lens_spec = P() if lengths is not None else None
+    fn = jax.shard_map(
+        functools.partial(
+            ring_attention_local, axis_name=axis_name, scale=scale
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, lens_spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    args = (q, k, v, lengths)
+    out = fn(*args)
+    return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, spec))

@@ -1,0 +1,99 @@
+"""Ring attention (sequence parallelism) vs the single-device oracle.
+
+Runs on the simulated 8-CPU-device mesh (conftest). Exactness bar: the
+online-softmax merge is algebraically identical to one-shot softmax, so
+fp32 agreement with ``reference_attention`` is to accumulation-order noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from lightglue_tpu.kernels.attention import reference_attention
+from lightglue_tpu.parallel.ring import AXIS_SEQ, ring_attention
+
+
+def _mesh(n=8):
+    return Mesh(np.asarray(jax.devices()[:n]), (AXIS_SEQ,))
+
+
+def _qkv(rng, b, h, nq, nk, d, dtype=np.float32):
+    q = rng.standard_normal((b, h, nq, d)).astype(dtype)
+    k = rng.standard_normal((b, h, nk, d)).astype(dtype)
+    v = rng.standard_normal((b, h, nk, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_ring_matches_reference_fp32(rng):
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 2, 4, 256, 256, 64)
+    out = ring_attention(q, k, v, mesh=mesh)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_cross_shaped(rng):
+    """N_q != N_kv — the cross-attention shape (LightGlue mixed buckets)."""
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 1, 4, 128, 512, 64)
+    out = ring_attention(q, k, v, mesh=mesh)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_masked_lengths(rng):
+    """Global (len_q, len_kv) masking: pad KV cols ignored, pad Q rows zero.
+
+    Lengths deliberately NOT multiples of the 32-wide per-device block so
+    the valid/invalid boundary falls inside a ring step."""
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 2, 2, 256, 256, 64)
+    lengths = jnp.asarray([[200, 173], [256, 41]], jnp.int32)
+    out = ring_attention(q, k, v, lengths, mesh=mesh)
+    ref = reference_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # pad Q rows are exactly zero
+    np.testing.assert_array_equal(np.asarray(out)[0, :, 200:], 0.0)
+
+
+def test_ring_fully_masked_shard(rng):
+    """A device whose entire KV block is padding must not poison stats
+    (its -inf block contributes exp(-inf)=0 through the merge)."""
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 1, 2, 256, 256, 64)
+    lengths = jnp.asarray([[256, 32]], jnp.int32)  # only shard 0 has real KV
+    out = ring_attention(q, k, v, lengths, mesh=mesh)
+    ref = reference_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ring_bf16_inputs(rng):
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 1, 4, 256, 256, 64)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = ring_attention(qb, kb, vb, mesh=mesh)
+    ref = reference_attention(qb, kb, vb)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_ring_size_validation(rng):
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 1, 1, 100, 256, 64)  # 100 % 8 != 0
+    with pytest.raises(ValueError, match="divide"):
+        ring_attention(q, k, v, mesh=mesh)
+
+
+def test_ring_smaller_ring(rng):
+    """Ring over a 4-device sub-mesh (the other axes free for data/model)."""
+    mesh = _mesh(4)
+    q, k, v = _qkv(rng, 1, 2, 128, 128, 64)
+    lengths = jnp.asarray([[100, 77]], jnp.int32)
+    out = ring_attention(q, k, v, lengths, mesh=mesh)
+    ref = reference_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
