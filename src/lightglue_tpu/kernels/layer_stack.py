@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -47,6 +48,13 @@ _NEG_INF = -1e30
 # VMEM budget: activations (2, N, E) + qkv (2N, 3E) + one fp32 S (N, N) +
 # double-buffered bf16 layer weights. N=1024 at E=256 fits a v5e core.
 MAX_SEQ = 1024
+
+# whole-model toggle for the transposed-S cross direction (see
+# transformer_stack's cross_transposed arg) so the A/B needs no call-site
+# edits; read at trace time
+_CROSS_TRANSPOSED_DEFAULT = os.environ.get(
+    "LGTPU_CROSS_TRANSPOSED", ""
+) not in ("", "0")
 
 
 def _interpret() -> bool:
@@ -103,6 +111,7 @@ def _layer_stack_kernel(
     attn_dtype,
     masked: bool,
     quantized: bool,
+    cross_transposed: bool,
 ):
     wrefs, out0_ref, out1_ref = rest[:-2], rest[-2], rest[-1]
     t = pl.program_id(0)
@@ -170,7 +179,10 @@ def _layer_stack_kernel(
         cols0 = jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 1)
         cross_cols = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
-        cross_rows = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+        if cross_transposed:
+            cross_cols_t = jax.lax.broadcasted_iota(jnp.int32, (n1, n0), 1)
+        else:
+            cross_rows = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
         out_rows0 = jax.lax.broadcasted_iota(jnp.int32, (n0, head_dim), 0)
         out_rows1 = jax.lax.broadcasted_iota(jnp.int32, (n1, head_dim), 0)
         self_cols = (cols0, cols1)
@@ -273,17 +285,34 @@ def _layer_stack_kernel(
         l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N0, 1)
         o0 = _dot(p0.astype(attn_dtype), v1) / jnp.where(l0 == 0.0, 1.0, l0)
 
-        s_col = jnp.where(cross_rows < lens[0], s, _NEG_INF) if masked else s
-        m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
-        p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
-        # column sums in (N1, 1) orientation via a ones-vector contraction on
-        # the MXU — a (1, N1) keepdims sum would need a cross-lane relayout
-        # to divide the (N1, D) output
-        l1 = _quant(
-            _dot(p1, jnp.ones((n0, 1), attn_dtype), contract=((0,), (0,)))
-        )
-        o1 = _dot(p1, v0, contract=((0,), (0,)))
-        o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
+        if cross_transposed:
+            # direction 1->0 on its own row-major similarity matrix: one
+            # extra (N1, D) x (D, N0) MXU matmul buys a lane-wise (axis=1)
+            # max/sum instead of the cross-sublane axis-0 reduction and the
+            # ones-vector column-sum matmul. Elementwise st == s.T (same
+            # fp32-accumulated dot products), so numerics are unchanged.
+            st = _quant(_dot(qk1, qk0, contract=((1,), (1,))) * scale)
+            if masked:
+                st = jnp.where(cross_cols_t < lens[0], st, _NEG_INF)
+            m1s = _quant(jnp.max(st, axis=1, keepdims=True))
+            p1 = _quant(jnp.exp(st - m1s))
+            l1 = _quant(jnp.sum(p1, axis=1, keepdims=True))   # (N1, 1)
+            o1 = _dot(p1.astype(attn_dtype), v0)
+            o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
+        else:
+            s_col = (
+                jnp.where(cross_rows < lens[0], s, _NEG_INF) if masked else s
+            )
+            m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
+            p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
+            # column sums in (N1, 1) orientation via a ones-vector
+            # contraction on the MXU — a (1, N1) keepdims sum would need a
+            # cross-lane relayout to divide the (N1, D) output
+            l1 = _quant(
+                _dot(p1, jnp.ones((n0, 1), attn_dtype), contract=((0,), (0,)))
+            )
+            o1 = _dot(p1, v0, contract=((0,), (0,)))
+            o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
 
         if masked:
             o0 = jnp.where(out_rows[0] < lens[0], o0, 0.0)
@@ -347,6 +376,7 @@ def _weight_args(layers_params, quantized: bool):
         "scale",
         "stat_dtype",
         "attn_dtype",
+        "cross_transposed",
     ),
 )
 def transformer_stack(
@@ -363,6 +393,7 @@ def transformer_stack(
     scale: Optional[float] = None,
     stat_dtype=jnp.float32,
     attn_dtype=None,
+    cross_transposed: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run all stacked LightGlue layers in one kernel.
 
@@ -371,10 +402,17 @@ def transformer_stack(
       d0/d1: (B, N0, E) / (B, N1, E) descriptors (buckets may differ).
       freqs0/freqs1: (B, 2, N, D) fp32 rope [cos; sin] (tiled per-half).
       lengths0/lengths1: optional (B,) true keypoint counts.
+      cross_transposed: compute the 1->0 cross direction on its own
+        row-major (N1, N0) similarity matmul (lane-wise softmax stats)
+        instead of axis-0 stats over the shared (N0, N1) matrix. Same
+        numerics; a chip-measured perf A/B (scripts/bench_stack.py).
+        Default: the LGTPU_CROSS_TRANSPOSED env var (else False).
 
     Returns:
       (d0', d1'): same shapes after all layers.
     """
+    if cross_transposed is None:
+        cross_transposed = _CROSS_TRANSPOSED_DEFAULT
     b, n0, e = d0.shape
     n1 = d1.shape[1]
     n_layers = layers_params["self_attn"]["ln_g"].shape[0]
@@ -414,6 +452,7 @@ def transformer_stack(
         attn_dtype=attn_dtype,
         masked=masked,
         quantized=quantized,
+        cross_transposed=cross_transposed,
     )
 
     # per pair per layer: 7 ExE projections + 2 FFNs + self/cross attention
@@ -423,7 +462,8 @@ def transformer_stack(
         + 2 * (2 * nsum * (2 * e) * (2 * e) + 2 * nsum * (2 * e) * e)
     )
     attn_flops = num_heads * head_dim * (
-        (n0 * n0 + n1 * n1) * (2 * 2 + 3) + n0 * n1 * (2 * 2 + 3)
+        (n0 * n0 + n1 * n1) * (2 * 2 + 3)
+        + n0 * n1 * (2 * 2 + 3 + (2 if cross_transposed else 0))
     )
     flops = b * n_layers * (proj_flops + attn_flops)
     weight_bytes = sum(a.size * a.dtype.itemsize for a in weight_args)

@@ -241,3 +241,49 @@ def test_stack_mixed_buckets_matches_scan(ragged):
             assert np.abs(r - g).max() <= 0.02 * scale, (
                 np.abs(r - g).max(), scale,
             )
+
+
+@pytest.mark.parametrize("ragged", [False, True])
+def test_cross_transposed_matches_default(ragged):
+    """The transposed-S cross direction (its own (N1, N0) matmul, lane-wise
+    softmax stats) is a pure layout change: outputs must agree with the
+    shared-S default to float tolerance, including mixed ragged buckets."""
+    b, n0, n1, n_layers = 2, 128, 256, 2
+    config, policy, params, kpts0, kpts1, d0, d1 = _setup(b, n1, n_layers)
+    kpts0, d0 = kpts0[:, :n0], d0[:, :n0]
+    if ragged:
+        lens0 = jnp.asarray([n0, 70], jnp.int32)
+        lens1 = jnp.asarray([150, n1], jnp.int32)
+    else:
+        lens0 = lens1 = None
+    freqs0 = lightglue.posenc(params["posenc"], kpts0, config.head_dim)
+    freqs1 = lightglue.posenc(params["posenc"], kpts1, config.head_dim)
+
+    with jax.default_matmul_precision(policy.matmul_precision):
+        base0, base1 = layer_stack.transformer_stack(
+            params["layers"], d0, d1, freqs0, freqs1, lens0, lens1,
+            num_heads=config.num_heads,
+            head_dim=config.head_dim,
+            stat_dtype=policy.attn_stat_dtype,
+            cross_transposed=False,
+        )
+        got0, got1 = layer_stack.transformer_stack(
+            params["layers"], d0, d1, freqs0, freqs1, lens0, lens1,
+            num_heads=config.num_heads,
+            head_dim=config.head_dim,
+            stat_dtype=policy.attn_stat_dtype,
+            cross_transposed=True,
+        )
+
+    for base, got, lens in ((base0, got0, lens0), (base1, got1, lens1)):
+        base = np.asarray(base, np.float32)
+        got = np.asarray(got, np.float32)
+        for i in range(b):
+            k = int(lens[i]) if lens is not None else base.shape[1]
+            r, g = base[i, :k], got[i, :k]
+            scale = np.abs(r).max()
+            # identical math modulo fp32 reduction order; bf16 activations
+            # between layers keep the paths bit-close
+            assert np.abs(r - g).max() <= 0.005 * scale, (
+                np.abs(r - g).max(), scale,
+            )
