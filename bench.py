@@ -17,6 +17,8 @@ is the same accounting trtexec's --useCudaGraph mode gives the reference.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -227,7 +229,64 @@ def bench_e2e(precision: Precision, h: int = 480, w: int = 640, n: int = 1024):
     return _timed(make_fn, sp_params, lg_params, images)
 
 
+# A hung device dispatch cannot be cancelled in-process, so device
+# availability is probed in a SUBPROCESS. The TPU relay has real outages
+# (observed: jax.devices() blocks forever); without this gate a dead relay
+# turns the whole benchmark run into a silent hang instead of a parseable
+# error line.
+_PROBE_SRC = (
+    "import jax, numpy as np; x = jax.numpy.ones((8, 128)); "
+    "print(float(np.asarray(x + x)[0, 0]))"
+)
+
+
+def _device_reachable(timeout_s: float = 120.0) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _await_device() -> bool:
+    """Retry the reachability probe until LGTPU_BENCH_WAIT_S (default 600 s)
+    expires. Returns True as soon as a probe succeeds."""
+    deadline = float(os.environ.get("LGTPU_BENCH_WAIT_S", "600"))
+    t0 = time.time()
+    while True:
+        if _device_reachable():
+            return True
+        if time.time() - t0 >= deadline:
+            return False
+        time.sleep(min(30.0, max(1.0, deadline - (time.time() - t0))))
+
+
 def main():
+    if not _await_device():
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "LightGlue 1x1024x1024 bf16 full match step p50 "
+                        "latency"
+                    ),
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "extra": {
+                        "error": (
+                            "device unreachable: relay probe subprocess "
+                            "failed/hung past LGTPU_BENCH_WAIT_S"
+                        )
+                    },
+                }
+            )
+        )
+        return
     backend = jax.default_backend()
     lg_bf16 = bench_lightglue(Precision.BF16)
     extra = {

@@ -101,6 +101,12 @@ def ring_attention_local(
         m_new = jnp.maximum(m, jnp.max(sij, axis=-1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(sij - m_new)
+        if lengths is not None:
+            # when every column seen so far is masked, m_new == sij == -inf
+            # and exp(0) = 1 would pollute l/acc with pad columns; zeroing
+            # here also makes len_kv == 0 yield the kernels' contractual
+            # all-zero output (l stays 0) instead of a mean over V
+            p = jnp.where(valid[:, None, None, :], p, 0.0)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jnp.einsum(
             "bhqk,bhkd->bhqd",

@@ -97,3 +97,16 @@ def test_ring_smaller_ring(rng):
     out = ring_attention(q, k, v, lengths, mesh=mesh)
     ref = reference_attention(q, k, v, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_zero_length_kv(rng):
+    """len_kv == 0: no valid column anywhere — output must be the kernels'
+    contractual zeros (attention.py pads l==0 rows to 0), not a mean over
+    the pad V rows (exp(-inf - -inf) == 1 pollution)."""
+    mesh = _mesh()
+    q, k, v = _qkv(rng, 2, 2, 64, 64, 64)
+    lengths = jnp.asarray([[64, 0], [40, 32]], jnp.int32)
+    out = np.asarray(ring_attention(q, k, v, lengths, mesh=mesh))
+    assert np.all(out[0] == 0.0)
+    ref = np.asarray(reference_attention(q, k, v, lengths))
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-5)
