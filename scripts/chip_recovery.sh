@@ -4,9 +4,16 @@
 # EVERY step and a step that exits nonzero while the relay is down is
 # retried once after the next recovery. Each step runs under its own
 # generous timeout (fresh Mosaic compiles through the relay take minutes).
+#
+# Evidence policy: every attempt writes its own file ($name.$attempt.out —
+# a retry must not destroy the record of what failed mid-outage) and the
+# whole $OUT directory is copied into golden/chip_r$ROUND/ at the end so
+# chip runs survive the session (the analog of the reference checking in
+# trt_engine_files/*.engine.txt).
 set -u
 cd "$(dirname "$0")/.."
 OUT=${OUT:-/tmp/chip_recovery}
+ROUND=${ROUND:-}
 mkdir -p "$OUT"
 
 probe() {
@@ -27,9 +34,11 @@ run() {
   for attempt in 1 2; do
     wait_up
     echo "$(date +%T) >>> $name (attempt $attempt)" | tee -a "$OUT/log"
-    timeout "$tmo" "$@" >"$OUT/$name.out" 2>&1
+    timeout "$tmo" "$@" >"$OUT/$name.$attempt.out" 2>&1
     local rc=$?
     echo "$(date +%T) <<< $name exit=$rc" | tee -a "$OUT/log"
+    # keep a stable un-suffixed name pointing at the LAST attempt
+    cp -f "$OUT/$name.$attempt.out" "$OUT/$name.out"
     [ "$rc" -eq 0 ] && return 0
     # nonzero: if the relay is still up this is a real failure — move on;
     # if it died mid-step, loop for one retry after recovery
@@ -38,7 +47,13 @@ run() {
 }
 
 run bench            3000 python bench.py
-run cross_transposed 3000 python scripts/bench_cross_transposed.py
-run attrib_sp        3000 python scripts/attrib_sp_layers.py
 run tpu_suite        4800 env LGTPU_TEST_TPU=1 python -m pytest tests/ -q
 echo "$(date +%T) chip queue done" | tee -a "$OUT/log"
+
+# institutionalize the evidence (VERDICT r2 next-step 9)
+if [ -n "$ROUND" ]; then
+  DEST="golden/chip_r$ROUND"
+  mkdir -p "$DEST"
+  cp -f "$OUT"/*.out "$OUT"/log "$DEST"/ 2>/dev/null
+  echo "$(date +%T) evidence copied to $DEST (commit it)" | tee -a "$OUT/log"
+fi

@@ -1,0 +1,195 @@
+"""Diagnose the chip fullscale-parity failure (VERDICT r2 missing-item 2).
+
+Round-2 chip run: IoU 0.9545 < 0.99 with score_max_abs_err 4.43e-2, tie
+margin 0.25. An argmax flip on the COMMON keypoint set is impossible under
+those numbers (2 * 4.43e-2 < 0.25), so the solid disagreements must involve
+keypoints that exist in only ONE implementation's top-1024 detection set
+(the (map>=0).mean()>0.99 gate tolerates ~10 divergent keypoints at the
+detection-score boundary). This script verifies that hypothesis on the real
+chip by classifying every solid-set disagreement:
+
+  - KPT-DIVERGENT: a side of the match is a keypoint the other pipeline
+    never detected (top-k boundary effect, implementation-undefined);
+  - ARGMAX-FLIP: both keypoints common, argmaxes differ -> would indicate a
+    real numerical defect (must check margins vs measured jitter);
+  - MUTUAL-FLIP: row argmax agrees but the mutual-NN check flips.
+
+Also reports the detection-score rank of each divergent keypoint, and the
+float64-anchored check: for rows with ARGMAX-FLIPs, re-runs the torch
+oracle LightGlue in float64 on the oracle descriptors to see which side the
+exact answer falls on.
+
+Run on chip: python scripts/diag_fullscale_parity.py  (~5 min, compiles)
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("LGTPU_TEST_TPU", "1")
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "src"))
+sys.path.insert(0, str(REPO / "tests"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+
+import test_fullscale_parity as T
+from lightglue_tpu.config import LightGlueConfig, PipelineConfig, SuperPointConfig
+from lightglue_tpu.precision import Precision
+from lightglue_tpu.runtime import weights
+from lightglue_tpu.runtime.session import MatcherSession
+from lightglue_tpu.utils.image import load_image
+from test_pipeline import numpy_filter_matches
+from torch_oracle import (
+    make_lightglue_state_dict,
+    make_superpoint_state_dict,
+    oracle_lightglue,
+    oracle_superpoint,
+)
+
+IMG_HW, MAX_KPTS, N_LAYERS = (480, 640), 1024, 9
+
+
+def main():
+    img0, _ = load_image(str(T.SACRE1), resize=IMG_HW)
+    img1, _ = load_image(str(T.SACRE2), resize=IMG_HW)
+    sp_sd = T.whiten_superpoint(make_superpoint_state_dict(seed=21), (img0, img1))
+    lg_sd = make_lightglue_state_dict(seed=22, n_layers=N_LAYERS)
+    config = PipelineConfig(
+        superpoint=SuperPointConfig(max_num_keypoints=MAX_KPTS),
+        lightglue=LightGlueConfig(n_layers=N_LAYERS),
+        precision=Precision.FP32,
+        buckets=(MAX_KPTS,),
+        match_threshold=0.0,
+        max_matches=MAX_KPTS,
+    )
+    session = MatcherSession(
+        sp_params=weights.superpoint_from_state_dict(
+            {k: v.numpy() for k, v in sp_sd.items()}
+        ),
+        lg_params=weights.lightglue_from_state_dict(
+            {k: v.numpy() for k, v in lg_sd.items()}, config.lightglue
+        ),
+        config=config,
+    )
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    result = session.match_pair(img0, img1)
+    ours = {
+        (tuple(p0), tuple(p1)): s
+        for p0, p1, s in zip(
+            result["matched_kpts0"], result["matched_kpts1"], result["match_scores"]
+        )
+    }
+
+    ex = []
+    for img in (img0, img1):
+        scores, desc = oracle_superpoint(sp_sd, img.transpose(2, 0, 1)[None])
+        ex.append(T.oracle_extract(scores, desc))
+    (k0, kn0, d0), (k1, kn1, d1) = ex
+    _, _, lg_scores = oracle_lightglue(lg_sd, kn0, kn1, d0, d1, n_layers=N_LAYERS)
+    pairs = numpy_filter_matches(lg_scores, config.match_threshold)
+    want = {(tuple(k0[i0]), tuple(k1[i1])): s for (i0, i1), s in pairs.items()}
+
+    # ---- keypoint-set comparison --------------------------------------
+    ours_k0 = {tuple(p): i for i, p in enumerate(np.asarray(result["keypoints0"]))}
+    ours_k1 = {tuple(p): i for i, p in enumerate(np.asarray(result["keypoints1"]))}
+    okset0 = {tuple(p) for p in k0}
+    okset1 = {tuple(p) for p in k1}
+    div0_ours = set(ours_k0) - okset0   # detected by us, not oracle
+    div0_orc = okset0 - set(ours_k0)
+    div1_ours = set(ours_k1) - okset1
+    div1_orc = okset1 - set(ours_k1)
+    print(f"kpt divergence img0: ours-only={len(div0_ours)} oracle-only={len(div0_orc)}")
+    print(f"kpt divergence img1: ours-only={len(div1_ours)} oracle-only={len(div1_orc)}")
+
+    # rank of oracle-only kpts in the oracle's sorted-by-score list (top-k
+    # boundary keypoints have rank near MAX_KPTS)
+    for name, div, klist in (("img0 oracle-only", div0_orc, k0),
+                             ("img1 oracle-only", div1_orc, k1)):
+        ranks = [i for i, p in enumerate(klist) if tuple(p) in div]
+        print(f"  {name} ranks (0=best, {MAX_KPTS-1}=boundary): {sorted(ranks)}")
+
+    # ---- tie sets & solid IoU (test's exact logic) --------------------
+    s0 = lg_scores[0]
+    srt_r = np.sort(s0, axis=1)
+    srt_c = np.sort(s0, axis=0)
+    MARGIN = 0.25
+    tie0 = {tuple(k0[i]) for i in np.nonzero(srt_r[:, -1] - srt_r[:, -2] < MARGIN)[0]}
+    tie1 = {tuple(k1[j]) for j in np.nonzero(srt_c[-1, :] - srt_c[-2, :] < MARGIN)[0]}
+
+    def solid(ms):
+        return {key for key in ms if key[0] not in tie0 and key[1] not in tie1}
+
+    ours_solid, want_solid = solid(set(ours)), solid(set(want))
+    common = ours_solid & want_solid
+    union = ours_solid | want_solid
+    print(f"matches ours={len(ours)} oracle={len(want)} "
+          f"solid ours={len(ours_solid)} oracle={len(want_solid)} "
+          f"common={len(common)} iou={len(common)/max(1,len(union)):.4f}")
+
+    # ---- classify each disagreement ------------------------------------
+    okidx0 = {tuple(p): i for i, p in enumerate(k0)}
+    okidx1 = {tuple(p): i for i, p in enumerate(k1)}
+    our_scores = np.asarray(result["scores"])  # (N0_ours, N1_ours) our kpt order
+
+    flips = []
+    for key in sorted(union - common):
+        side = "OURS-ONLY" if key in ours_solid else "ORACLE-ONLY"
+        p0, p1 = key
+        in_o0, in_o1 = p0 in okidx0, p1 in okidx1
+        in_u0, in_u1 = p0 in ours_k0, p1 in ours_k1
+        if not (in_o0 and in_o1 and in_u0 and in_u1):
+            cls = "KPT-DIVERGENT"
+            det = f"oracle_has=({in_o0},{in_o1}) ours_has=({in_u0},{in_u1})"
+        else:
+            i, j = okidx0[p0], okidx1[p1]
+            ui, uj = ours_k0[p0], ours_k1[p1]
+            orc_row_arg = int(np.argmax(s0[i]))
+            orc_col_arg = int(np.argmax(s0[:, j]))
+            our_row = our_scores[ui]
+            our_col = our_scores[:, uj]
+            det = (f"orc s={s0[i, j]:+.4f} row_margin={srt_r[i, -1]-srt_r[i, -2]:.4f} "
+                   f"col_margin={srt_c[-1, j]-srt_c[-2, j]:.4f} "
+                   f"our s={our_scores[ui, uj]:+.4f} "
+                   f"our_row_max={our_row.max():+.4f} our_col_max={our_col.max():+.4f}")
+            cls = "ARGMAX/MUTUAL-FLIP"
+            flips.append((i, j))
+        print(f"  {side} {cls} {key} {det}")
+
+    # ---- float64 anchor for true flips ---------------------------------
+    if flips:
+        print("re-running torch oracle in float64 for flip adjudication...")
+        import torch
+
+        lg_sd64 = {k: v.double() for k, v in lg_sd.items()}
+        _, _, s64 = oracle_lightglue(
+            lg_sd64,
+            *(x.astype(np.float64) for x in (kn0, kn1, d0, d1)),
+            n_layers=N_LAYERS,
+        )
+        s64 = s64[0]
+        for i, j in flips:
+            print(f"  flip ({i},{j}): f64 s={s64[i, j]:+.6f} "
+                  f"f64_row_arg={int(np.argmax(s64[i]))} orc_row_arg={int(np.argmax(s0[i]))} "
+                  f"f64_col_arg={int(np.argmax(s64[:, j]))} orc_col_arg={int(np.argmax(s0[:, j]))}")
+
+    # ---- how close is OUR pipeline to the oracle on common kpts? -------
+    map0 = np.asarray([ours_k0.get(tuple(p), -1) for p in k0])
+    map1 = np.asarray([ours_k1.get(tuple(p), -1) for p in k1])
+    c0 = np.nonzero(map0 >= 0)[0]
+    c1 = np.nonzero(map1 >= 0)[0]
+    err = np.abs(our_scores[np.ix_(map0[c0], map1[c1])] - s0[np.ix_(c0, c1)])
+    print(f"common-kpt score err: max={err.max():.3e} p99={np.percentile(err, 99):.3e} "
+          f"mean={err.mean():.3e}")
+
+
+if __name__ == "__main__":
+    main()

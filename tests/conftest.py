@@ -33,6 +33,15 @@ import numpy as np
 import pytest
 
 
+def require_devices(n: int) -> None:
+    """Skip (not fail) mesh tests on backends with fewer devices — the
+    LGTPU_TEST_TPU=1 chip suite runs on ONE real device; the sharding paths
+    are covered by the simulated 8-CPU mesh and dryrun_multichip."""
+    have = len(jax.devices())
+    if have < n:
+        pytest.skip(f"needs {n} devices, backend has {have}")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(888)  # the demo's fixed seed (demo_mono.cpp:204)

@@ -81,6 +81,9 @@ def test_batcher_routes_to_buckets_and_matches_serial(rng, config):
 
 
 def test_batcher_on_data_parallel_mesh(rng, config):
+    from conftest import require_devices
+
+    require_devices(8)
     mesh = make_mesh(data=4, model=2)
     lg_params = shard_lightglue_params(
         weights.to_jax(weights.init_lightglue(0, config.lightglue)), mesh

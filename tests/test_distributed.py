@@ -66,7 +66,9 @@ def _single_device_reference(lg_params, config, args):
 
 @pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4), (1, 1)])
 def test_sharded_match_equals_single_device(rng, config, lg_params, data, model):
-    assert len(jax.devices()) >= data * model, "need the 8-device CPU mesh"
+    from conftest import require_devices
+
+    require_devices(data * model)
     mesh = make_mesh(data=data, model=model, devices=jax.devices()[: data * model])
     params_sharded = shard_lightglue_params(lg_params, mesh)
     args = _pair_batch(rng, max(data, 2), BUCKET)
@@ -84,6 +86,9 @@ def test_sharded_match_equals_single_device(rng, config, lg_params, data, model)
 
 
 def test_parallel_extract_sharded_batch(rng, config):
+    from conftest import require_devices
+
+    require_devices(8)
     sp_params = weights.to_jax(weights.init_superpoint(0, config.superpoint))
     mesh = make_mesh(data=4, model=2)
     fn = make_parallel_extract_fn(mesh, config)
@@ -100,10 +105,12 @@ def test_parallel_extract_sharded_batch(rng, config):
 
 def test_multihost_helpers_single_process(rng, config):
     """Multi-host helpers degrade gracefully in a single process."""
+    from conftest import require_devices
     from jax.sharding import PartitionSpec as P
 
     from lightglue_tpu.parallel import multihost
 
+    require_devices(8)
     multihost.initialize(num_processes=1)  # no-op
     assert not multihost.is_multiprocess()
     mesh = make_mesh(data=4, model=2)

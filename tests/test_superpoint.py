@@ -150,10 +150,14 @@ def test_conv3x3_kernel_matches_xla(rng):
     bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
     assert conv_kernel.supports(h, w, cin, cout, x.dtype)
 
+    # HIGHEST: on TPU a default-precision XLA conv runs bf16 passes and
+    # becomes the WRONG side of the 1e-5 comparison (the Pallas kernel
+    # accumulates true fp32) — the oracle-precision trap from CLAUDE.md
     ref = jax.lax.conv_general_dilated(
         x, wts, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) + bias
     ref_relu = jax.nn.relu(ref)
     got = conv_kernel.conv3x3(x, wts, bias, relu=True, pool=False)
@@ -193,10 +197,12 @@ def test_conv3x3_paired_matches_xla(rng):
     assert conv_kernel.supports_paired(h, w, c, c, x.dtype)
 
     def xla(x, wts, bias, pool):
+        # HIGHEST for the same oracle-precision reason as the direct test
         o = jax.lax.conv_general_dilated(
             x, wts, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         o = jax.nn.relu(o + bias)
         if pool:
