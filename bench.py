@@ -302,6 +302,11 @@ def main():
         extra["lightglue_bf16_masked_700of1024_ms"] = round(
             bench_lightglue(Precision.BF16, masked=True, actual=700), 3
         )
+        # the session's actual dispatch for a 700-kpt pair under the
+        # 128-step bucket ladder: the dense 768 executable (masked 700/768)
+        extra["lightglue_bf16_700_bucket768_ms"] = round(
+            bench_lightglue(Precision.BF16, n=768, masked=True, actual=700), 3
+        )
         # smaller buckets + a mixed-bucket pair (256 x 512 keypoints)
         extra["lightglue_bf16_1x256_ms"] = round(
             bench_lightglue(Precision.BF16, n=256), 3

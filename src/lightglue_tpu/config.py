@@ -59,7 +59,13 @@ class PipelineConfig:
     # holding its keypoint count, and one executable is AOT-compiled per
     # bucket — the XLA analog of the reference's CUDA graph recorded at the
     # 1024-kpt max shape (demo/demo_mono.cpp:105-140, SURVEY.md §3.1).
-    buckets: Tuple[int, ...] = (256, 512, 1024)
+    # 128-step granularity (the megakernel's block quantum): a 700-keypoint
+    # pair dispatches to the dense 768 executable — attention cost scales
+    # quadratically with the bucket, so downshifting beats running masked in
+    # the 1024 bucket (chip-measured; the in-kernel masked path only
+    # where-masks, golden/chip_r03). More buckets = more one-time AOT
+    # compiles (runtime/aot.py persistent cache), zero steady-state cost.
+    buckets: Tuple[int, ...] = (256, 384, 512, 640, 768, 896, 1024)
     match_threshold: float = 0.1  # demo_mono.cpp:296 uses 0.5; python default 0.1
     max_matches: int = 1024
 

@@ -49,12 +49,20 @@ _NEG_INF = -1e30
 # double-buffered bf16 layer weights. N=1024 at E=256 fits a v5e core.
 MAX_SEQ = 1024
 
-# whole-model toggle for the transposed-S cross direction (see
-# transformer_stack's cross_transposed arg) so the A/B needs no call-site
-# edits; read at trace time
-_CROSS_TRANSPOSED_DEFAULT = os.environ.get(
-    "LGTPU_CROSS_TRANSPOSED", ""
-) not in ("", "0")
+def _cross_transposed_default() -> bool:
+    """Default for transformer_stack's cross_transposed: OFF (shared-S).
+
+    The round-2 chip A/B (golden/chip_r02/cross_transposed.out) suggested
+    +25% for the transposed variant, but the definitive round-3 interleaved
+    A/B with repeats (golden/chip_r03/cross_transposed_definitive.txt) shows
+    the two are equivalent within relay variance at every shape (1024
+    unmasked, 1024 masked-70%, mixed 256x512) — the r2 delta was relay
+    state, not the kernel. Shared-S stays default: one fewer (N1,D)x(D,N0)
+    matmul, and it slightly wins masked/mixed in the clean runs.
+    LGTPU_CROSS_TRANSPOSED=1 forces the transposed variant for A/Bs; read at
+    trace time (the first trace per shape pins the choice for that jit
+    cache entry)."""
+    return os.environ.get("LGTPU_CROSS_TRANSPOSED", "0") not in ("", "0")
 
 
 def _interpret() -> bool:
@@ -174,6 +182,17 @@ def _layer_stack_kernel(
             else v
         )
 
+    # NOTE on masking strategy (chip-measured, golden/chip_r03): a dynamic
+    # KV trip count (online-softmax fori_loop over 256-col blocks, skipping
+    # blocks past the true length) was built and A/B'd on the chip — it LOST
+    # at every shape (1024 masked-70%: 1.39 vs 1.22 ms; mixed 256x512:
+    # 0.429 vs 0.327 ms): at N <= 1024 the dense single-pass matmul is so
+    # MXU-efficient that skipped FLOPs never repay the loop/carry overhead.
+    # Partial buckets save wall-clock via the 128-step bucket ladder
+    # instead (config.PipelineConfig.buckets — a 700-kpt pair dispatches to
+    # the dense 768 executable), so the in-kernel masking below is purely
+    # for correctness, like the CUDA reference's tail-tile masking
+    # (attention_headdim_64_fp16in_fp16out.cu:475-494).
     if masked:
         lens = (lens_ref[t, 0], lens_ref[t, 1])
         cols0 = jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 1)
@@ -189,14 +208,24 @@ def _layer_stack_kernel(
         out_rows = (out_rows0, out_rows1)
 
     def _linear(v, lin):
-        """v @ w + b with fp32 accumulation, result in the activation dtype."""
+        """v @ w + b with fp32 accumulation, result in the activation dtype.
+
+        Operands run in attn_dtype: for the MIXED rung (fp32 activations,
+        bf16 attn_dtype) this makes every projection a single bf16-operand
+        MXU pass with fp32 accumulation instead of a HIGHEST multi-pass
+        fp32 matmul — softmax stats, LayerNorm, and residual carries stay
+        fp32 (VERDICT r2 #7; the FP32 rung keeps true-fp32 operands and
+        infers HIGHEST in _dot)."""
         wfn, b_ref = lin
-        y = _dot(v, wfn()).astype(dt)
+        y = _dot(v.astype(attn_dtype), wfn().astype(attn_dtype)).astype(dt)
         return y + b_ref[0].astype(dt)
 
     def _rope(v, f_ref):
-        cos = f_ref[0, 0].astype(dt)   # (N, D) tiled per-half freqs
-        sin = f_ref[0, 1].astype(dt)
+        # cast freqs to the OPERAND dtype (not dt): in MIXED, v is already
+        # the bf16 attention operand and fp32 freqs would silently promote
+        # q/k back to fp32 (forcing HIGHEST matmuls on the QK dot)
+        cos = f_ref[0, 0].astype(v.dtype)   # (N, D) tiled per-half freqs
+        sin = f_ref[0, 1].astype(v.dtype)
         rot = jnp.concatenate([-v[:, half:], v[:, :half]], axis=-1)
         return v * cos + rot * sin
 
@@ -220,15 +249,18 @@ def _layer_stack_kernel(
     # saturated at every bucket size, and separate rows are what lets the
     # two buckets DIFFER (mixed 256x512 pairs run here, not on the ~1.6x
     # slower per-block fallback)
-    qkv_w = sqkv_w()                     # (3, E, E) component-major, dt
+    # component-major (3, E, E) weights; operands in attn_dtype like
+    # _linear (single-pass MXU matmuls for MIXED, true fp32 for FP32)
+    qkv_w = sqkv_w().astype(attn_dtype)
     xs = (x0, x1)
     frefs = (f0_ref, f1_ref)
     new_xs = []
     for img in range(2):
         xi = xs[img]
-        q_img = _dot(xi, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
-        k_img = _dot(xi, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
-        v_img = _dot(xi, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
+        xa = xi.astype(attn_dtype)  # matmul operand; residual stays dt
+        q_img = _dot(xa, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
+        k_img = _dot(xa, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
+        v_img = _dot(xa, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
         heads = []
         for h in range(num_heads):
             c0 = h * head_dim
@@ -271,6 +303,7 @@ def _layer_stack_kernel(
         qk1 = qk1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
         v0 = v0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
         v1 = v1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+
         # shared similarity matrix, computed once; direction 1->0 rides its
         # transpose as a free contraction-axis choice on the MXU
         s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)  # (N0, N1)
@@ -289,8 +322,11 @@ def _layer_stack_kernel(
             # direction 1->0 on its own row-major similarity matrix: one
             # extra (N1, D) x (D, N0) MXU matmul buys a lane-wise (axis=1)
             # max/sum instead of the cross-sublane axis-0 reduction and the
-            # ones-vector column-sum matmul. Elementwise st == s.T (same
-            # fp32-accumulated dot products), so numerics are unchanged.
+            # ones-vector column-sum matmul. st == s.T up to the same
+            # fp32-accumulated dot products; the softmax DENOMINATORS round
+            # differently (the default path sums a bf16-cast p via the ones
+            # matmul, this path sums fp32 p1), so parity vs the default is
+            # to ~0.005*scale, not bitwise.
             st = _quant(_dot(qk1, qk0, contract=((1,), (1,))) * scale)
             if masked:
                 st = jnp.where(cross_cols_t < lens[0], st, _NEG_INF)
@@ -405,14 +441,17 @@ def transformer_stack(
       cross_transposed: compute the 1->0 cross direction on its own
         row-major (N1, N0) similarity matmul (lane-wise softmax stats)
         instead of axis-0 stats over the shared (N0, N1) matrix. Same
-        numerics; a chip-measured perf A/B (scripts/bench_stack.py).
-        Default: the LGTPU_CROSS_TRANSPOSED env var (else False).
+        fp32-accumulated dot products (denominator rounding differs at bf16
+        scale); chip A/B: scripts/bench_cross_transposed.py — the definitive
+        interleaved run (golden/chip_r03/cross_transposed_definitive.txt)
+        measured the variants equivalent within relay variance at every
+        shape. Default: OFF unless LGTPU_CROSS_TRANSPOSED=1.
 
     Returns:
       (d0', d1'): same shapes after all layers.
     """
     if cross_transposed is None:
-        cross_transposed = _CROSS_TRANSPOSED_DEFAULT
+        cross_transposed = _cross_transposed_default()
     b, n0, e = d0.shape
     n1 = d1.shape[1]
     n_layers = layers_params["self_attn"]["ln_g"].shape[0]

@@ -10,9 +10,9 @@ whole ladder collapses into a dtype policy resolved at trace time:
 TRT engine            TPU policy                                     enum
 ===================  =============================================  ==========
 fp32 (no plugin)      fp32 activations, fp32 attention stats         FP32
-fp32 (with plugin)    bf16 attention operands, fp32 stats/output,    MIXED
-                      fp32 everywhere else (the analog of the
-                      plugin's internal fp32->fp16 downcast,
+fp32 (with plugin)    bf16 matmul operands, fp32 accumulation,       MIXED
+                      stats, activations and carries (the analog
+                      of the plugin's internal fp32->fp16 downcast,
                       reference lightglue_attention_plugin.cpp:222)
 fp16                  bf16 activations, bf16 attention stats         BF16
 best                  bf16 activations + int8 weight-only linears    INT8
@@ -72,9 +72,15 @@ _POLICIES = {
         int8_weights=False,
         matmul_precision="highest",
     ),
-    # The analog of the reference fp32 engine *with* the plugin: attention
-    # operands are downcast to 16-bit, statistics and outputs stay fp32
-    # (reference attention_headdim_64_fp16in_fp32out.cu:170,551-574).
+    # The analog of the reference fp32 engine *with* the plugin: matmul
+    # OPERANDS are downcast to 16-bit (the plugin casts Q/K/V fp32->fp16
+    # internally, reference lightglue_attention_plugin.cpp:222-267) while
+    # statistics, accumulation, activations, LayerNorm and residual carries
+    # stay fp32 (attention_headdim_64_fp16in_fp32out.cu:170,551-574).
+    # matmul_precision "default" = single bf16-operand MXU pass with fp32
+    # accumulation; "highest" (multi-pass true fp32) is reserved for the
+    # FP32 rung — this is what makes MIXED the fast-accurate rung (the
+    # reference's fp32+plugin engine is only 1.16x its fp16 engine).
     Precision.MIXED: DTypePolicy(
         param_dtype=jnp.float32,
         act_dtype=jnp.float32,
@@ -83,7 +89,7 @@ _POLICIES = {
         attn_out_dtype=jnp.float32,
         acc_dtype=jnp.float32,
         int8_weights=False,
-        matmul_precision="highest",
+        matmul_precision="default",
     ),
     # The analog of the fp16 engine: all-16-bit attention including softmax
     # statistics (reference attention_headdim_64_fp16in_fp16out.cu:556-580
