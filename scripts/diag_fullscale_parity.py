@@ -156,12 +156,26 @@ def main():
             orc_col_arg = int(np.argmax(s0[:, j]))
             our_row = our_scores[ui]
             our_col = our_scores[:, uj]
+            # is the COMPETING argmax a keypoint the other pipeline lacks?
+            # (round-2 chip finding: yes — 4 detection-boundary keypoints)
+            orc_col_winner = tuple(k0[orc_col_arg])
+            orc_row_winner = tuple(k1[orc_row_arg])
+            competitor_divergent = (
+                orc_col_winner not in ours_k0 or orc_row_winner not in ours_k1
+            )
+            cls = (
+                "COMPETITOR-KPT-DIVERGENT"
+                if competitor_divergent
+                else "ARGMAX/MUTUAL-FLIP"
+            )
             det = (f"orc s={s0[i, j]:+.4f} row_margin={srt_r[i, -1]-srt_r[i, -2]:.4f} "
                    f"col_margin={srt_c[-1, j]-srt_c[-2, j]:.4f} "
                    f"our s={our_scores[ui, uj]:+.4f} "
-                   f"our_row_max={our_row.max():+.4f} our_col_max={our_col.max():+.4f}")
-            cls = "ARGMAX/MUTUAL-FLIP"
-            flips.append((i, j))
+                   f"our_row_max={our_row.max():+.4f} our_col_max={our_col.max():+.4f} "
+                   f"orc_col_winner_in_ours={orc_col_winner in ours_k0} "
+                   f"orc_row_winner_in_ours={orc_row_winner in ours_k1}")
+            if not competitor_divergent:
+                flips.append((i, j))
         print(f"  {side} {cls} {key} {det}")
 
     # ---- float64 anchor for true flips ---------------------------------
@@ -171,9 +185,7 @@ def main():
 
         lg_sd64 = {k: v.double() for k, v in lg_sd.items()}
         _, _, s64 = oracle_lightglue(
-            lg_sd64,
-            *(x.astype(np.float64) for x in (kn0, kn1, d0, d1)),
-            n_layers=N_LAYERS,
+            lg_sd64, kn0, kn1, d0, d1, n_layers=N_LAYERS, dtype=torch.float64
         )
         s64 = s64[0]
         for i, j in flips:

@@ -67,12 +67,17 @@ def make_lightglue_state_dict(seed=0, n_layers=9, dim=256, heads=4):
 
 
 @torch.no_grad()
-def oracle_lightglue(sd, kpts0, kpts1, desc0, desc1, n_layers=9, heads=4):
-    """Returns (desc0, desc1, scores) like the reference exported graph."""
-    kpts0 = torch.as_tensor(np.asarray(kpts0), dtype=torch.float32)
-    kpts1 = torch.as_tensor(np.asarray(kpts1), dtype=torch.float32)
-    d0 = torch.as_tensor(np.asarray(desc0), dtype=torch.float32)
-    d1 = torch.as_tensor(np.asarray(desc1), dtype=torch.float32)
+def oracle_lightglue(
+    sd, kpts0, kpts1, desc0, desc1, n_layers=9, heads=4, dtype=torch.float32
+):
+    """Returns (desc0, desc1, scores) like the reference exported graph.
+
+    ``dtype=torch.float64`` (with a double state dict) gives the exact
+    anchor used to adjudicate cross-backend fp32 disagreements."""
+    kpts0 = torch.as_tensor(np.asarray(kpts0), dtype=dtype)
+    kpts1 = torch.as_tensor(np.asarray(kpts1), dtype=dtype)
+    d0 = torch.as_tensor(np.asarray(desc0), dtype=dtype)
+    d1 = torch.as_tensor(np.asarray(desc1), dtype=dtype)
     dim = d0.shape[-1]
     hd = dim // heads
 
