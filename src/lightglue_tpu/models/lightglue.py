@@ -576,6 +576,125 @@ def _forward_impl(
     return LightGlueOutput(d0, d1, scores, jnp.asarray(config.n_layers))
 
 
+def _rope_heads(t: jax.Array, freqs: jax.Array) -> jax.Array:
+    """Half-split rotary on (B, H, N, D) heads; ``freqs`` is the (B, 2, N, D)
+    tiled per-half [cos; sin] posenc output (q/k weights carry the load-time
+    de-interleave permutation, runtime/weights.py:rope_permutation)."""
+    half = t.shape[-1] // 2
+    cos = freqs[:, 0][:, None].astype(t.dtype)  # (B, 1, N, D)
+    sin = freqs[:, 1][:, None].astype(t.dtype)
+    rot = jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+    return t * cos + rot * sin
+
+
+def forward_ring(
+    params,
+    kpts0: jax.Array,
+    kpts1: jax.Array,
+    desc0: jax.Array,
+    desc1: jax.Array,
+    lengths0: Optional[jax.Array] = None,
+    lengths1: Optional[jax.Array] = None,
+    *,
+    config: LightGlueConfig,
+    policy: DTypePolicy,
+    mesh,
+) -> LightGlueOutput:
+    """Sequence-parallel fixed-depth forward over a ``seq`` mesh axis.
+
+    For keypoint counts beyond one chip (the reference caps N at 2048 per
+    GPU, lightglue_attention_plugin.h:21; SURVEY.md §2.5 lists sequence
+    parallelism with no reference counterpart): every self/cross attention
+    rides ``parallel/ring.py`` — K/V blocks rotate around the mesh ring via
+    ppermute while each device accumulates its Q stripe — and the per-token
+    ops (projections, FFN, LayerNorm, rotary) shard trivially on the
+    sequence axis. Semantically identical to ``forward`` (tests/test_ring.py
+    model-level parity); rotary is applied in jnp before the ring instead of
+    in-kernel.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightglue_tpu.parallel import ring as _ring
+
+    num_heads = config.num_heads
+    ffn_dim = 2 * config.descriptor_dim
+    act = policy.act_dtype
+    seq_spec = P(None, _ring.AXIS_SEQ, None)
+
+    def shard_seq(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, seq_spec)
+        )
+
+    def attend(q, k, v, freqs_qk, lq, lkv):
+        dt_in = policy.attn_in_dtype
+        qh = _split_heads(q.astype(dt_in), num_heads)
+        kh = _split_heads(k.astype(dt_in), num_heads)
+        vh = _split_heads(v.astype(dt_in), num_heads)
+        if freqs_qk is not None:
+            qh = _rope_heads(qh, freqs_qk)
+            kh = _rope_heads(kh, freqs_qk)
+        lens = (
+            None
+            if lq is None
+            else jnp.stack([lq, lkv], axis=-1).astype(jnp.int32)
+        )
+        out = _ring.ring_attention(qh, kh, vh, lens, mesh=mesh)
+        return _merge_heads(out).astype(q.dtype)
+
+    with jax.default_matmul_precision(policy.matmul_precision):
+        d0 = shard_seq(desc0.astype(act))
+        d1 = shard_seq(desc1.astype(act))
+        if "input_proj" in params:
+            d0 = _linear(params["input_proj"], d0)
+            d1 = _linear(params["input_proj"], d1)
+        freqs0 = posenc(
+            params["posenc"], kpts0.astype(jnp.float32), config.head_dim
+        )
+        freqs1 = posenc(
+            params["posenc"], kpts1.astype(jnp.float32), config.head_dim
+        )
+
+        def body(carry, p):
+            c0, c1 = carry
+            sp, cp = p["self_attn"], p["cross_attn"]
+            new = []
+            for x, freqs, lens in (
+                (c0, freqs0, lengths0),
+                (c1, freqs1, lengths1),
+            ):
+                qkv = (
+                    jnp.einsum("bni,cio->cbno", x, _weight(sp["qkv"], x.dtype))
+                    + sp["qkv"]["b"].astype(x.dtype)[:, None, None, :]
+                )
+                ctx = attend(qkv[0], qkv[1], qkv[2], freqs, lens, lens)
+                message = _linear(sp["out"], ctx)
+                new.append(_ffn(sp, x, message, None, ffn_dim))
+            c0, c1 = new
+            qk0 = _linear(cp["qk"], c0)
+            qk1 = _linear(cp["qk"], c1)
+            v0 = _linear(cp["v"], c0)
+            v1 = _linear(cp["v"], c1)
+            m0 = attend(qk0, qk1, v1, None, lengths0, lengths1)
+            m1 = attend(qk1, qk0, v0, None, lengths1, lengths0)
+            m0 = _linear(cp["out"], m0)
+            m1 = _linear(cp["out"], m1)
+            c0 = _ffn(cp, c0, m0, None, ffn_dim)
+            c1 = _ffn(cp, c1, m1, None, ffn_dim)
+            return (shard_seq(c0), shard_seq(c1)), None
+
+        (d0, d1), _ = jax.lax.scan(body, (d0, d1), params["layers"])
+
+        mask0, mask1 = _masks_from_lengths(
+            lengths0, lengths1, kpts0.shape[1], kpts1.shape[1]
+        )
+        last_assign = jax.tree.map(lambda a: a[-1], params["assign"])
+        scores = match_assignment(
+            last_assign, d0, d1, mask0, mask1, config.descriptor_dim
+        )
+    return LightGlueOutput(d0, d1, scores, jnp.asarray(config.n_layers))
+
+
 # ---------------------------------------------------------------------------
 # adaptive depth + width pruning (device-side, no host round-trips)
 # ---------------------------------------------------------------------------
@@ -794,14 +913,33 @@ def _forward_adaptive_impl(
             prune_live = ~new["stopped"]
             keep0 = keep0 | ~prune_live[:, None] & mask0
             keep1 = keep1 | ~prune_live[:, None] & mask1
-            nl0, _, (pd0, pf0, pidx0) = _compact(
-                keep0, s["len0"], new["d0"], s["freqs0"], s["idx0"]
+
+            def _do_compact(new_d0, new_d1, s_):
+                nl0, _, (pd0, pf0, pidx0) = _compact(
+                    keep0, s_["len0"], new_d0, s_["freqs0"], s_["idx0"]
+                )
+                nl1, _, (pd1, pf1, pidx1) = _compact(
+                    keep1, s_["len1"], new_d1, s_["freqs1"], s_["idx1"]
+                )
+                return (pd0, pf0, pidx0, nl0, pd1, pf1, pidx1, nl1)
+
+            def _no_compact(new_d0, new_d1, s_):
+                return (
+                    new_d0, s_["freqs0"], s_["idx0"], s_["len0"],
+                    new_d1, s_["freqs1"], s_["idx1"], s_["len1"],
+                )
+
+            # the argsort + 8 gathers only pay when a token was actually
+            # pruned this step — confident scenes at high width_confidence
+            # prune rarely, and the no-prune steps were 40%+ of the
+            # adaptive exit-9 tax (VERDICT r2 #6 / BENCH_r02)
+            any_pruned = jnp.any(keep0 != mask0) | jnp.any(keep1 != mask1)
+            (
+                new["d0"], new["freqs0"], new["idx0"], new["len0"],
+                new["d1"], new["freqs1"], new["idx1"], new["len1"],
+            ) = jax.lax.cond(
+                any_pruned, _do_compact, _no_compact, new["d0"], new["d1"], s
             )
-            nl1, _, (pd1, pf1, pidx1) = _compact(
-                keep1, s["len1"], new["d1"], s["freqs1"], s["idx1"]
-            )
-            new["d0"], new["freqs0"], new["idx0"], new["len0"] = pd0, pf0, pidx0, nl0
-            new["d1"], new["freqs1"], new["idx1"], new["len1"] = pd1, pf1, pidx1, nl1
         return new
 
     final = jax.lax.while_loop(cond, body, state)

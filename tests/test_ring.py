@@ -101,6 +101,50 @@ def test_ring_smaller_ring(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_model_forward_ring_matches_forward(rng):
+    """MODEL-LEVEL sequence parallelism: lightglue.forward_ring (every
+    self/cross attention through the ppermute ring, per-token ops sharded
+    on the seq axis) must reproduce the single-device forward. fp32, so
+    agreement is to accumulation-order noise."""
+    import jax.numpy as jnp
+
+    from lightglue_tpu.config import LightGlueConfig
+    from lightglue_tpu.models import lightglue
+    from lightglue_tpu.precision import Precision, policy_for
+    from lightglue_tpu.runtime import weights
+
+    mesh = _mesh()
+    config = LightGlueConfig(n_layers=2)
+    policy = policy_for(Precision.FP32)
+    params = weights.to_jax(weights.init_lightglue(0, config))
+    b, n = 2, 256
+    kpts0 = jnp.asarray(rng.uniform(-1, 1, (b, n, 2)).astype(np.float32))
+    kpts1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 2)).astype(np.float32))
+    d0 = jnp.asarray(rng.standard_normal((b, n, 256), dtype=np.float32))
+    d1 = jnp.asarray(rng.standard_normal((b, n, 256), dtype=np.float32))
+    lens0 = jnp.asarray([n, 200], jnp.int32)
+    lens1 = jnp.asarray([173, n], jnp.int32)
+
+    ring_out = lightglue.forward_ring(
+        params, kpts0, kpts1, d0, d1, lens0, lens1,
+        config=config, policy=policy, mesh=mesh,
+    )
+    ref = lightglue.forward(
+        params, kpts0, kpts1, d0, d1, lens0, lens1,
+        config=config, policy=policy,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_out.scores), np.asarray(ref.scores),
+        atol=5e-4, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_out.desc0), np.asarray(ref.desc0), atol=5e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_out.desc1), np.asarray(ref.desc1), atol=5e-5, rtol=0
+    )
+
+
 def test_ring_zero_length_kv(rng):
     """len_kv == 0: no valid column anywhere — output must be the kernels'
     contractual zeros (attention.py pads l==0 rows to 0), not a mean over
