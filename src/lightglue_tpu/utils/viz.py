@@ -12,28 +12,31 @@ import numpy as np
 
 
 def cm_RdGn(x) -> np.ndarray:
-    """Map values in [0, 1] to a red -> green colormap (viz2d.py analog)."""
-    x = np.clip(np.asarray(x, np.float32), 0, 1)[..., None]
-    green = np.array([0.1, 0.8, 0.2], np.float32)
-    red = np.array([0.85, 0.15, 0.15], np.float32)
-    return x * green + (1 - x) * red
+    """Confidence ramp red (0) -> yellow (0.5) -> green (1).
+
+    Matches the reference's rendering (viz2d.py:14-18): both channels
+    saturate at the midpoint, so mid confidences read yellow — a plain
+    red/green lerp would render them muddy brown and the saved match
+    images would not look like the reference's."""
+    t = 2.0 * np.clip(np.asarray(x, np.float32), 0, 1)[..., None]
+    r = np.clip(2.0 - t, 0, 1)
+    g = np.clip(t, 0, 1)
+    return np.concatenate([r, g, np.zeros_like(r)], axis=-1)
 
 
 def cm_BlRdGn(x) -> np.ndarray:
-    """Diverging colormap: blue (-1) -> red (0) -> green (+1) RGBA.
-
-    Capability parity with the reference's pruning colormap
-    (viz2d.py:20-28); expressed here as a piecewise lerp between
-    anchor colors rather than the reference's two-sided blend.
-    """
+    """Diverging RGBA ramp blue (-1) -> red (0) -> green (+1), saturating
+    like cm_RdGn on each side (reference viz2d.py:22-29: positives pass
+    through yellow, negatives through magenta-ish red/blue mixes)."""
     x = np.asarray(x, np.float32)
-    red = np.array([1.0, 0.0, 0.0, 1.0], np.float32)
-    green = np.array([0.0, 1.0, 0.0, 1.0], np.float32)
-    blue = np.array([0.0, 0.1, 1.0, 1.0], np.float32)
-    pos = np.clip(x, 0, 1)[..., None]
-    neg = np.clip(-x, 0, 1)[..., None]
-    up = (1 - pos) * red + pos * green
-    down = (1 - neg) * red + neg * blue
+    tp = 2.0 * np.clip(x, 0, 1)[..., None]
+    up = tp * np.array([0.0, 1.0, 0.0, 1.0], np.float32) + (
+        2.0 - tp
+    ) * np.array([1.0, 0.0, 0.0, 1.0], np.float32)
+    tn = 2.0 * np.clip(-x, 0, 1)[..., None]
+    down = tn * np.array([0.0, 0.1, 1.0, 1.0], np.float32) + (
+        2.0 - tn
+    ) * np.array([1.0, 0.0, 0.0, 1.0], np.float32)
     return np.clip(np.where(x[..., None] < 0, down, up), 0, 1)
 
 

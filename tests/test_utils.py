@@ -89,15 +89,20 @@ def test_cm_blrdgn_and_prune():
     from lightglue_tpu.utils.viz import cm_BlRdGn, cm_prune
     import numpy as np
 
+    # endpoint values are the reference's saturating two-sided blend
+    # (viz2d.py:22-29: at -1 the clip of 2*[0, .1, 1, 1] gives g=0.2)
     c = cm_BlRdGn(np.array([-1.0, 0.0, 1.0]))
-    np.testing.assert_allclose(c[0], [0.0, 0.1, 1.0, 1.0], atol=1e-6)  # blue
+    np.testing.assert_allclose(c[0], [0.0, 0.2, 1.0, 1.0], atol=1e-6)  # blue
     np.testing.assert_allclose(c[1], [1.0, 0.0, 0.0, 1.0], atol=1e-6)  # red
     np.testing.assert_allclose(c[2], [0.0, 1.0, 0.0, 1.0], atol=1e-6)  # green
+    # midpoints saturate: +0.5 is yellow, not brown
+    mid = cm_BlRdGn(np.array([0.5]))
+    np.testing.assert_allclose(mid[0], [1.0, 1.0, 0.0, 1.0], atol=1e-6)
 
     # pruning map: survivors (latest layer) blue, layer-1 prunes red-ish
     layers = np.array([9.0, 1.0, 5.0])
     p = cm_prune(layers, n_layers=9)
-    np.testing.assert_allclose(p[0], [0.0, 0.1, 1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(p[0], [0.0, 0.2, 1.0, 1.0], atol=1e-6)
     assert p[1][0] > 0.9 and p[1][1] < 0.1  # early prune ~ red
 
 
