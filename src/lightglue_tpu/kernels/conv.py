@@ -30,6 +30,7 @@ Reference semantics mirrored: superpoint.py:143-173 (VGG encoder + heads).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,7 @@ def _interpret() -> bool:
 
 def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
                  rows, w, cin, cout, relu, pool, out_dtype,
-                 lane_pool=False):
+                 lane_pool=False, span=False):
     t = pl.program_id(0)
     s = pl.program_id(1)
     nstrips = pl.num_programs(1)
@@ -77,15 +78,37 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
         else jax.lax.Precision.DEFAULT
     )
     o = None
-    for di in range(3):
-        for dj in range(3):
-            lhs = xs[di : di + rows, dj : dj + w].reshape(n, cin)
+    if span:
+        # 75%-dense span form (paired layout only): out unit m (cols 2m,
+        # 2m+1) contracts the 4-column window 2m-1..2m+2 = [odd half of
+        # unit m-1 | unit m | even half of unit m+1] in ONE 2*cin-deep
+        # matmul per row tap — 2 x 128-deep MXU passes instead of the
+        # 3 half-empty (du in -1,0,1) parity-block matmuls (6 of 8 weight
+        # blocks nonzero vs 6 of 12). The window array is built once per
+        # strip; the three di taps are free sublane-offset views of it.
+        half = cin // 2
+        ss = jnp.concatenate(
+            [xs[:, 0:w, half:], xs[:, 1 : w + 1, :], xs[:, 2 : w + 2, :half]],
+            axis=-1,
+        )  # (rows+2, w, 2*cin)
+        for di in range(3):
+            lhs = ss[di : di + rows].reshape(n, 2 * cin)
             d = jax.lax.dot_general(
-                lhs, w_ref[di, dj], (((1,), (0,)), ((), ())),
+                lhs, w_ref[di], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
             o = d if o is None else o + d
+    else:
+        for di in range(3):
+            for dj in range(3):
+                lhs = xs[di : di + rows, dj : dj + w].reshape(n, cin)
+                d = jax.lax.dot_general(
+                    lhs, w_ref[di, dj], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+                o = d if o is None else o + d
     o = o + b_ref[...]
     if relu:
         o = jnp.maximum(o, 0.0)
@@ -244,10 +267,38 @@ def _pack_paired_weights(w) -> jax.Array:
     return wp
 
 
+def _pack_span_weights(w) -> jax.Array:
+    """(3, 3, C, C_out) HWIO -> (3, 4C, 2C_out) span tap weights.
+
+    Row block k (window column 2m-1+k, k in 0..3) feeds output column
+    2m+v (v in 0..1) through tap index k-v of the 3-tap kernel, valid for
+    0 <= k-v <= 2; 6 of the 8 (k, v) blocks are nonzero."""
+    _, _, c, co = w.shape
+    wp = jnp.zeros((3, 4 * c, 2 * co), w.dtype)
+    for k in range(4):
+        for v in (0, 1):
+            dj = k - v
+            if 0 <= dj <= 2:
+                wp = wp.at[
+                    :, k * c : (k + 1) * c, v * co : (v + 1) * co
+                ].set(w[:, dj])
+    return wp
+
+
+def _span_default() -> bool:
+    """Default for conv3x3_paired's span form; LGTPU_CONV_SPAN=1 enables it
+    for A/Bs. Read at trace time. OFF until the chip A/B
+    (scripts/bench_conv_ab.py span) proves the lane-window concatenate
+    lowers cleanly in Mosaic and wins in-model — evidence policy, same as
+    the transposed-S flag."""
+    return os.environ.get("LGTPU_CONV_SPAN", "0") not in ("", "0")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "relu", "pool", "x_paired", "out_paired", "out_dtype", "interpret"
+        "relu", "pool", "x_paired", "out_paired", "out_dtype", "interpret",
+        "span",
     ),
 )
 def conv3x3_paired(
@@ -261,6 +312,7 @@ def conv3x3_paired(
     out_paired: bool = False,
     out_dtype=None,
     interpret: bool | None = None,
+    span: bool | None = None,
 ) -> jax.Array:
     """SAME 3x3 conv via paired-column (space-to-depth-2) matmuls.
 
@@ -270,8 +322,14 @@ def conv3x3_paired(
       pool: fuse the 2x2 maxpool; output is always unpaired (H/2, W/2, Cout).
       out_paired: (pool=False only) emit (B, H, W/2, 2*C_out) for the next
         paired conv.
+      span: contract each output unit's full 4-column input window in one
+        2*cin-deep matmul per row tap (75% weight density, 6 MXU passes of
+        128 depth per point) instead of the 3 parity-block matmuls per row
+        tap (50% density, 9 passes). Default: LGTPU_CONV_SPAN (on).
     """
     assert not (pool and out_paired)
+    if span is None:
+        span = _span_default()
     btch, h = x.shape[:2]
     if x_paired:
         units, c2 = x.shape[2], x.shape[3]
@@ -290,7 +348,7 @@ def conv3x3_paired(
     # W..W+1 are all zeros, covering the SAME padding), plus DMA alignment
     upad = (-(units + 2)) % 8
     xp = jnp.pad(xu, ((0, 0), (1, 1), (1, 1 + upad), (0, 0)))
-    wp = _pack_paired_weights(w)
+    wp = _pack_span_weights(w) if span else _pack_paired_weights(w)
     bp = jnp.concatenate([b, b]).astype(jnp.float32)
 
     oh = h // 2 if pool else h
@@ -304,16 +362,25 @@ def conv3x3_paired(
     kernel = functools.partial(
         _conv_kernel, rows=rows, w=units, cin=2 * c, cout=2 * cout,
         relu=relu, pool=False, lane_pool=pool, out_dtype=out_dtype,
+        span=span,
+    )
+    w_spec = (
+        pl.BlockSpec(
+            (3, 4 * c, 2 * cout), lambda t, s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if span
+        else pl.BlockSpec(
+            (3, 3, 2 * c, 2 * cout), lambda t, s: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     )
     out = pl.pallas_call(
         kernel,
         grid=(btch, h // rows),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # streamed via manual DMA
-            pl.BlockSpec(
-                (3, 3, 2 * c, 2 * cout), lambda t, s: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            w_spec,
             pl.BlockSpec(
                 (1, 2 * cout), lambda t, s: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -327,7 +394,11 @@ def conv3x3_paired(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * btch * h * w_dim * c * cout * 9 * 2,  # 50% density
+            # span: 6 128-deep MXU passes per point (75% dense);
+            # parity-block: 9 (50% dense)
+            flops=int(
+                2 * btch * h * w_dim * c * cout * 9 * (4 / 3 if span else 2)
+            ),
             bytes_accessed=xp.size * xp.dtype.itemsize
             + btch * oh * units * cout * out_dtype.itemsize
             + wp.size * wp.dtype.itemsize,
