@@ -14,13 +14,27 @@ import jax.numpy as jnp
 
 
 def _max_pool_same(x: jax.Array, radius: int) -> jax.Array:
-    """Sliding-window max with SAME padding over the last two dims of (B, H, W)."""
+    """Sliding-window max with SAME padding over the last two dims of (B, H, W).
+
+    Max is separable: a (2r+1, 2r+1) window is a row pass then a column
+    pass — 2(2r+1) comparisons per pixel instead of (2r+1)^2 (18 vs 81 at
+    the SuperPoint radius 4). XLA lowers each 1-D reduce_window to VPU
+    shift-max chains; it does not separate the 2-D form itself (chip A/B:
+    golden/chip_r03, scripts/attrib_sp.py extract)."""
     k = 2 * radius + 1
-    return jax.lax.reduce_window(
+    rows = jax.lax.reduce_window(
         x,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(1, k, k),
+        window_dimensions=(1, k, 1),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    return jax.lax.reduce_window(
+        rows,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, k),
         window_strides=(1, 1, 1),
         padding="SAME",
     )
