@@ -117,6 +117,29 @@ def test_width_pruning_compacts_and_remaps(rng):
         assert s[l0:, :].max() < -1e20
 
 
+def test_width_pruning_noop_steps_preserve_state(rng):
+    """width_confidence on but no token ever prunable (unconfident head):
+    every step takes the no-compact branch of the lax.cond and the result
+    must equal the fixed-depth forward exactly — guards the fast path added
+    for the no-prune compaction tax."""
+    n_layers = 3
+    config = LightGlueConfig(n_layers=n_layers, width_confidence=0.99)
+    token = {
+        "w": np.zeros((n_layers - 1, 256, 1), np.float32),
+        "b": np.full((n_layers - 1, 1), -10.0, np.float32),  # c ~ 0 <= th
+    }
+    params = _params(n_layers, token=token)
+    args = _inputs(rng)
+    out = lg.forward_adaptive(params, *args, config=config, policy=POLICY)
+    assert int(out.lengths0[0]) == N - 5  # nothing pruned
+    assert int(out.lengths1[0]) == N - 9
+    np.testing.assert_array_equal(np.asarray(out.index0[0]), np.arange(N))
+    fixed = lg.forward(params, *args, config=config, policy=POLICY)
+    np.testing.assert_allclose(
+        np.asarray(out.scores), np.asarray(fixed.scores), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_batched_pairs_exit_independently(rng):
     """One confident pair + one unconfident pair in the same batch."""
     n_layers = 4
