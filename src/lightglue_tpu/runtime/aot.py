@@ -45,9 +45,13 @@ def enable_compile_cache(cache_dir: str) -> None:
 
 
 def export_matcher(
-    session, out_dir: str, batch: int = 1
+    session, out_dir: str, batch: int = 1, pairs=None
 ) -> Dict[Tuple[int, int], str]:
-    """Serialize the match step for every bucket combination to StableHLO.
+    """Serialize the match step per bucket pair to StableHLO.
+
+    ``pairs``: iterable of (bucket0, bucket1); default is the ladder
+    diagonal (the full cross product is len(buckets)^2 artifacts with the
+    128-step ladder — pass "all" to export every combination).
 
     Returns {bucket_pair: file_path}. Artifacts embed the weights as
     constants? No — weights stay an argument, so one artifact serves any
@@ -63,22 +67,29 @@ def export_matcher(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = {}
-    for b0 in session.config.buckets:
-        for b1 in session.config.buckets:
-            fn = session._match_fn(b0, b1)
-            args = (
-                session.lg_params,
-                jnp.zeros((batch, b0, 2), jnp.float32),
-                jnp.zeros((batch, b1, 2), jnp.float32),
-                jnp.zeros((batch, b0, 256), jnp.float32),
-                jnp.zeros((batch, b1, 256), jnp.float32),
-                jnp.zeros((batch,), jnp.int32),
-                jnp.zeros((batch,), jnp.int32),
-            )
-            exported = jax_export.export(fn)(*args)
-            path = out / f"match_{b0}x{b1}_b{batch}.stablehlo"
-            path.write_bytes(exported.serialize())
-            paths[(b0, b1)] = str(path)
+    if pairs is None:
+        pairs = [(b, b) for b in session.config.buckets]
+    elif pairs == "all":
+        pairs = [
+            (b0, b1)
+            for b0 in session.config.buckets
+            for b1 in session.config.buckets
+        ]
+    for b0, b1 in pairs:
+        fn = session._match_fn(b0, b1)
+        args = (
+            session.lg_params,
+            jnp.zeros((batch, b0, 2), jnp.float32),
+            jnp.zeros((batch, b1, 2), jnp.float32),
+            jnp.zeros((batch, b0, 256), jnp.float32),
+            jnp.zeros((batch, b1, 256), jnp.float32),
+            jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
+        )
+        exported = jax_export.export(fn)(*args)
+        path = out / f"match_{b0}x{b1}_b{batch}.stablehlo"
+        path.write_bytes(exported.serialize())
+        paths[(b0, b1)] = str(path)
     return paths
 
 

@@ -321,20 +321,41 @@ class MatcherSession:
 
     # -- warmup (the analog of engine build + CUDA-graph record) ------------
 
-    def warmup(self, image_hw: Tuple[int, int], batch: int = 1) -> None:
+    def warmup(
+        self,
+        image_hw: Tuple[int, int],
+        batch: int = 1,
+        pairs=None,
+    ) -> None:
+        """Compile the extract executable plus match executables ahead of
+        serving (the analog of engine build + CUDA-graph record).
+
+        ``pairs``: iterable of (bucket0, bucket1) to warm. Default: the
+        diagonal only — with the 128-step bucket ladder the full cross
+        product is len(buckets)^2 executables (49 remote compiles), while
+        mixed-bucket combinations are rare, lazily compiled on first
+        dispatch, and persistently cached (runtime/aot.py). Pass "all" for
+        the full product.
+        """
         h, w = image_hw
         dummy = np.zeros((batch, h, w, 1), np.float32)
         self.extract(dummy)
-        k = self.config.superpoint.max_num_keypoints
-        for b0 in self.config.buckets:
-            for b1 in self.config.buckets:
-                fn = self._match_fn(b0, b1)
-                fn(
-                    self.lg_params,
-                    jnp.zeros((batch, b0, 2), jnp.float32),
-                    jnp.zeros((batch, b1, 2), jnp.float32),
-                    jnp.zeros((batch, b0, 256), jnp.float32),
-                    jnp.zeros((batch, b1, 256), jnp.float32),
-                    jnp.full((batch,), b0, jnp.int32),
-                    jnp.full((batch,), b1, jnp.int32),
-                )
+        if pairs is None:
+            pairs = [(b, b) for b in self.config.buckets]
+        elif pairs == "all":
+            pairs = [
+                (b0, b1)
+                for b0 in self.config.buckets
+                for b1 in self.config.buckets
+            ]
+        for b0, b1 in pairs:
+            fn = self._match_fn(b0, b1)
+            fn(
+                self.lg_params,
+                jnp.zeros((batch, b0, 2), jnp.float32),
+                jnp.zeros((batch, b1, 2), jnp.float32),
+                jnp.zeros((batch, b0, 256), jnp.float32),
+                jnp.zeros((batch, b1, 256), jnp.float32),
+                jnp.full((batch,), b0, jnp.int32),
+                jnp.full((batch,), b1, jnp.int32),
+            )
