@@ -82,6 +82,7 @@ def bench_lightglue(
     n1: int | None = None,
     actual: int | None = None,
     adaptive: bool = False,
+    depth_only: bool = False,
     force_exit_layer: int | None = None,
 ):
     """masked=False measures the unmasked executable — what the session
@@ -97,7 +98,10 @@ def bench_lightglue(
     n1 = n if n1 is None else n1
     lg_config = LightGlueConfig(
         depth_confidence=0.95 if adaptive else -1.0,
-        width_confidence=0.99 if adaptive else -1.0,
+        # depth_only measures the in-kernel early-exit megakernel
+        # (transformer_stack_adaptive); width pruning forces the
+        # compaction-capable while_loop path
+        width_confidence=0.99 if (adaptive and not depth_only) else -1.0,
     )
     config = PipelineConfig(precision=precision, lightglue=lg_config)
     policy = policy_for(config.precision)
@@ -327,6 +331,22 @@ def main():
         )
         extra["lightglue_bf16_adaptive_exit9_1x1024_ms"] = round(
             bench_lightglue(Precision.BF16, adaptive=True, force_exit_layer=9),
+            3,
+        )
+        # depth-only adaptive rides the in-kernel early-exit megakernel
+        # (one pallas_call for the whole loop) — width pruning off
+        extra["lightglue_bf16_adaptive_depth_exit3_1x1024_ms"] = round(
+            bench_lightglue(
+                Precision.BF16, adaptive=True, depth_only=True,
+                force_exit_layer=3,
+            ),
+            3,
+        )
+        extra["lightglue_bf16_adaptive_depth_exit9_1x1024_ms"] = round(
+            bench_lightglue(
+                Precision.BF16, adaptive=True, depth_only=True,
+                force_exit_layer=9,
+            ),
             3,
         )
         extra["lightglue_mixed_1x1024_ms"] = round(

@@ -107,11 +107,9 @@ def _gelu_exact(xf):
 
 def _layer_stack_kernel(
     lens_ref,   # SMEM (B, 2) int32 true lengths per pair
-    d0_ref,     # VMEM (1, N0, E) input descriptors, image 0
-    d1_ref,     # VMEM (1, N1, E) input descriptors, image 1
-    f0_ref,     # VMEM (1, 2, N0, D) fp32 rope freqs [cos; sin], image 0
-    f1_ref,     # VMEM (1, 2, N1, D)
-    *rest,      # weight refs (see _weight_args) then the two output refs
+    *rest,      # [tok_b SMEM when adaptive] d0, d1, f0, f1, weight refs
+                # (see _weight_args) [tok_w when adaptive], then the output
+                # refs: out0, out1 [, exit when adaptive]
     scale: float,
     num_heads: int,
     head_dim: int,
@@ -120,8 +118,19 @@ def _layer_stack_kernel(
     masked: bool,
     quantized: bool,
     cross_transposed: bool,
+    adaptive: bool = False,
+    n_layers: int = 0,
+    depth_confidence: float = -1.0,
 ):
-    wrefs, out0_ref, out1_ref = rest[:-2], rest[-2], rest[-1]
+    if adaptive:
+        tokb_ref = rest[0]
+        d0_ref, d1_ref, f0_ref, f1_ref = rest[1:5]
+        wrefs = rest[5:-4]
+        tok_w_ref = rest[-4]
+        out0_ref, out1_ref, exit_ref = rest[-3:]
+    else:
+        d0_ref, d1_ref, f0_ref, f1_ref = rest[:4]
+        wrefs, out0_ref, out1_ref = rest[4:-2], rest[-2], rest[-1]
     t = pl.program_id(0)
     l = pl.program_id(1)
     n0 = d0_ref.shape[1]
@@ -133,6 +142,12 @@ def _layer_stack_kernel(
     def _():
         out0_ref[...] = d0_ref[...]
         out1_ref[...] = d1_ref[...]
+        if adaptive:
+            # sentinel "not exited": any value > n_layers; the last layer
+            # forces a real exit so the sentinel never survives
+            exit_ref[...] = jnp.full(
+                exit_ref.shape, n_layers + 1.0, jnp.float32
+            )
 
     x0 = out0_ref[0]                    # (N0, E)
     x1 = out1_ref[0]                    # (N1, E)
@@ -207,161 +222,213 @@ def _layer_stack_kernel(
         self_cols = (cols0, cols1)
         out_rows = (out_rows0, out_rows1)
 
-    def _linear(v, lin):
-        """v @ w + b with fp32 accumulation, result in the activation dtype.
+    def _run_layer():
+        x0 = out0_ref[0]
+        x1 = out1_ref[0]
+        def _linear(v, lin):
+            """v @ w + b with fp32 accumulation, result in the activation dtype.
 
-        Operands run in attn_dtype: for the MIXED rung (fp32 activations,
-        bf16 attn_dtype) this makes every projection a single bf16-operand
-        MXU pass with fp32 accumulation instead of a HIGHEST multi-pass
-        fp32 matmul — softmax stats, LayerNorm, and residual carries stay
-        fp32 (VERDICT r2 #7; the FP32 rung keeps true-fp32 operands and
-        infers HIGHEST in _dot)."""
-        wfn, b_ref = lin
-        y = _dot(v.astype(attn_dtype), wfn().astype(attn_dtype)).astype(dt)
-        return y + b_ref[0].astype(dt)
+            Operands run in attn_dtype: for the MIXED rung (fp32 activations,
+            bf16 attn_dtype) this makes every projection a single bf16-operand
+            MXU pass with fp32 accumulation instead of a HIGHEST multi-pass
+            fp32 matmul — softmax stats, LayerNorm, and residual carries stay
+            fp32 (VERDICT r2 #7; the FP32 rung keeps true-fp32 operands and
+            infers HIGHEST in _dot)."""
+            wfn, b_ref = lin
+            y = _dot(v.astype(attn_dtype), wfn().astype(attn_dtype)).astype(dt)
+            return y + b_ref[0].astype(dt)
 
-    def _rope(v, f_ref):
-        # cast freqs to the OPERAND dtype (not dt): in MIXED, v is already
-        # the bf16 attention operand and fp32 freqs would silently promote
-        # q/k back to fp32 (forcing HIGHEST matmuls on the QK dot)
-        cos = f_ref[0, 0].astype(v.dtype)   # (N, D) tiled per-half freqs
-        sin = f_ref[0, 1].astype(v.dtype)
-        rot = jnp.concatenate([-v[:, half:], v[:, :half]], axis=-1)
-        return v * cos + rot * sin
+        def _rope(v, f_ref):
+            # cast freqs to the OPERAND dtype (not dt): in MIXED, v is already
+            # the bf16 attention operand and fp32 freqs would silently promote
+            # q/k back to fp32 (forcing HIGHEST matmuls on the QK dot)
+            cos = f_ref[0, 0].astype(v.dtype)   # (N, D) tiled per-half freqs
+            sin = f_ref[0, 1].astype(v.dtype)
+            rot = jnp.concatenate([-v[:, half:], v[:, :half]], axis=-1)
+            return v * cos + rot * sin
 
-    def _ffn(xin, message, lin1, g_ref, bn_ref, lin2):
-        h = jnp.concatenate([xin, message], axis=-1)     # (N, 2E)
-        h = _linear(h, lin1)
-        hf = h.astype(jnp.float32)
-        mean = jnp.mean(hf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True) - jnp.square(
-            mean
-        )
-        normed = (hf - mean) * jax.lax.rsqrt(var + 1e-5)
-        normed = normed * g_ref[0].astype(jnp.float32) + bn_ref[0].astype(
-            jnp.float32
-        )
-        act = _gelu_exact(normed).astype(dt)
-        return xin + _linear(act, lin2)
+        def _ffn(xin, message, lin1, g_ref, bn_ref, lin2):
+            h = jnp.concatenate([xin, message], axis=-1)     # (N, 2E)
+            h = _linear(h, lin1)
+            hf = h.astype(jnp.float32)
+            mean = jnp.mean(hf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True) - jnp.square(
+                mean
+            )
+            normed = (hf - mean) * jax.lax.rsqrt(var + 1e-5)
+            normed = normed * g_ref[0].astype(jnp.float32) + bn_ref[0].astype(
+                jnp.float32
+            )
+            act = _gelu_exact(normed).astype(dt)
+            return xin + _linear(act, lin2)
 
-    # ---- self-attention block (reference lightglue.py:118-152) ----------
-    # each image runs its own projections: (N, E) @ (E, E) keeps the MXU
-    # saturated at every bucket size, and separate rows are what lets the
-    # two buckets DIFFER (mixed 256x512 pairs run here, not on the ~1.6x
-    # slower per-block fallback)
-    # component-major (3, E, E) weights; operands in attn_dtype like
-    # _linear (single-pass MXU matmuls for MIXED, true fp32 for FP32)
-    qkv_w = sqkv_w().astype(attn_dtype)
-    xs = (x0, x1)
-    frefs = (f0_ref, f1_ref)
-    new_xs = []
-    for img in range(2):
-        xi = xs[img]
-        xa = xi.astype(attn_dtype)  # matmul operand; residual stays dt
-        q_img = _dot(xa, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
-        k_img = _dot(xa, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
-        v_img = _dot(xa, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
-        heads = []
+        # ---- self-attention block (reference lightglue.py:118-152) ----------
+        # each image runs its own projections: (N, E) @ (E, E) keeps the MXU
+        # saturated at every bucket size, and separate rows are what lets the
+        # two buckets DIFFER (mixed 256x512 pairs run here, not on the ~1.6x
+        # slower per-block fallback)
+        # component-major (3, E, E) weights; operands in attn_dtype like
+        # _linear (single-pass MXU matmuls for MIXED, true fp32 for FP32)
+        qkv_w = sqkv_w().astype(attn_dtype)
+        xs = (x0, x1)
+        frefs = (f0_ref, f1_ref)
+        new_xs = []
+        for img in range(2):
+            xi = xs[img]
+            xa = xi.astype(attn_dtype)  # matmul operand; residual stays dt
+            q_img = _dot(xa, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
+            k_img = _dot(xa, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
+            v_img = _dot(xa, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
+            heads = []
+            for h in range(num_heads):
+                c0 = h * head_dim
+                # attention operands run in attn_dtype (MIXED: fp32 activations
+                # with bf16 attention inputs, mirroring the plugin's internal
+                # fp32->fp16 downcast, lightglue_attention_plugin.cpp:222-267)
+                q_h = _rope(
+                    q_img[:, c0 : c0 + head_dim].astype(attn_dtype), frefs[img]
+                )
+                k_h = _rope(
+                    k_img[:, c0 : c0 + head_dim].astype(attn_dtype), frefs[img]
+                )
+                v_h = v_img[:, c0 : c0 + head_dim].astype(attn_dtype)
+                s = _quant(_dot(q_h, k_h, contract=((1,), (1,))) * scale)
+                if masked:
+                    s = jnp.where(self_cols[img] < lens[img], s, _NEG_INF)
+                m = _quant(jnp.max(s, axis=1, keepdims=True))
+                p = _quant(jnp.exp(s - m))
+                lsum = _quant(jnp.sum(p, axis=1, keepdims=True))
+                o = _dot(p.astype(attn_dtype), v_h) / jnp.where(
+                    lsum == 0.0, 1.0, lsum
+                )
+                if masked:
+                    o = jnp.where(out_rows[img] < lens[img], o, 0.0)
+                heads.append(o.astype(dt))
+            ctx = jnp.concatenate(heads, axis=-1)  # (N, E)
+            message = _linear(ctx, sout)
+            new_xs.append(_ffn(xi, message, sffn1, sln_g, sln_b, sffn2))
+        x0, x1 = new_xs
+
+        # ---- cross-attention block (reference lightglue.py:168-205) ----------
+        qk0_all = _linear(x0, cqk)
+        qk1_all = _linear(x1, cqk)
+        v0_all = _linear(x0, cv)
+        v1_all = _linear(x1, cv)
+        m0_heads, m1_heads = [], []
         for h in range(num_heads):
             c0 = h * head_dim
-            # attention operands run in attn_dtype (MIXED: fp32 activations
-            # with bf16 attention inputs, mirroring the plugin's internal
-            # fp32->fp16 downcast, lightglue_attention_plugin.cpp:222-267)
-            q_h = _rope(
-                q_img[:, c0 : c0 + head_dim].astype(attn_dtype), frefs[img]
-            )
-            k_h = _rope(
-                k_img[:, c0 : c0 + head_dim].astype(attn_dtype), frefs[img]
-            )
-            v_h = v_img[:, c0 : c0 + head_dim].astype(attn_dtype)
-            s = _quant(_dot(q_h, k_h, contract=((1,), (1,))) * scale)
+            qk0 = qk0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+            qk1 = qk1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+            v0 = v0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+            v1 = v1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+
+            # shared similarity matrix, computed once; direction 1->0 rides its
+            # transpose as a free contraction-axis choice on the MXU
+            s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)  # (N0, N1)
+
+            # normalization by the softmax denominator happens AFTER the PV
+            # matmul on the (N, D) output, not on the (N, N) probability matrix
+            # — 16x fewer VPU divides at D=64 (same algebra: l is constant along
+            # the contraction)
+            s_row = jnp.where(cross_cols < lens[1], s, _NEG_INF) if masked else s
+            m0s = _quant(jnp.max(s_row, axis=1, keepdims=True))
+            p0 = _quant(jnp.exp(s_row - m0s))
+            l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N0, 1)
+            o0 = _dot(p0.astype(attn_dtype), v1) / jnp.where(l0 == 0.0, 1.0, l0)
+
+            if cross_transposed:
+                # direction 1->0 on its own row-major similarity matrix: one
+                # extra (N1, D) x (D, N0) MXU matmul buys a lane-wise (axis=1)
+                # max/sum instead of the cross-sublane axis-0 reduction and the
+                # ones-vector column-sum matmul. st == s.T up to the same
+                # fp32-accumulated dot products; the softmax DENOMINATORS round
+                # differently (the default path sums a bf16-cast p via the ones
+                # matmul, this path sums fp32 p1), so parity vs the default is
+                # to ~0.005*scale, not bitwise.
+                st = _quant(_dot(qk1, qk0, contract=((1,), (1,))) * scale)
+                if masked:
+                    st = jnp.where(cross_cols_t < lens[0], st, _NEG_INF)
+                m1s = _quant(jnp.max(st, axis=1, keepdims=True))
+                p1 = _quant(jnp.exp(st - m1s))
+                l1 = _quant(jnp.sum(p1, axis=1, keepdims=True))   # (N1, 1)
+                o1 = _dot(p1.astype(attn_dtype), v0)
+                o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
+            else:
+                s_col = (
+                    jnp.where(cross_rows < lens[0], s, _NEG_INF) if masked else s
+                )
+                m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
+                p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
+                # column sums in (N1, 1) orientation via a ones-vector
+                # contraction on the MXU — a (1, N1) keepdims sum would need a
+                # cross-lane relayout to divide the (N1, D) output
+                l1 = _quant(
+                    _dot(p1, jnp.ones((n0, 1), attn_dtype), contract=((0,), (0,)))
+                )
+                o1 = _dot(p1, v0, contract=((0,), (0,)))
+                o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
+
             if masked:
-                s = jnp.where(self_cols[img] < lens[img], s, _NEG_INF)
-            m = _quant(jnp.max(s, axis=1, keepdims=True))
-            p = _quant(jnp.exp(s - m))
-            lsum = _quant(jnp.sum(p, axis=1, keepdims=True))
-            o = _dot(p.astype(attn_dtype), v_h) / jnp.where(
-                lsum == 0.0, 1.0, lsum
+                o0 = jnp.where(out_rows[0] < lens[0], o0, 0.0)
+                o1 = jnp.where(out_rows[1] < lens[1], o1, 0.0)
+            m0_heads.append(o0.astype(dt))
+            m1_heads.append(o1.astype(dt))
+        m0 = _linear(jnp.concatenate(m0_heads, axis=-1), cout)
+        m1 = _linear(jnp.concatenate(m1_heads, axis=-1), cout)
+        x0 = _ffn(x0, m0, cffn1, cln_g, cln_b, cffn2)
+        x1 = _ffn(x1, m1, cffn1, cln_g, cln_b, cffn2)
+
+        out0_ref[...] = x0[None]
+        out1_ref[...] = x1[None]
+
+        if adaptive:
+            # ---- in-kernel adaptive-depth decision (upstream LightGlue
+            # depth_confidence semantics; reference lightglue.py:87-99 +
+            # check_if_stop). Confidence compares happen in LOGIT space:
+            # sigmoid(x@w + b) >= th  <=>  x@w >= logit(th) - b, so no
+            # sigmoid materializes. tok_w lanes carry the single output
+            # column REPLICATED 128x — the count divides by 128 (exact in
+            # fp32) instead of lane-masking.
+            lf = l.astype(jnp.float32)
+            th = jnp.clip(
+                0.8 + 0.1 * jnp.exp(-4.0 * lf / float(n_layers)), 0.0, 1.0
             )
+            # th <= 0.9 so log(1 - th) is well-conditioned (no log1p in
+            # Mosaic)
+            thr = jnp.log(th) - jnp.log(1.0 - th) - tokb_ref[l, 0]
+            tok_w = tok_w_ref[0].astype(attn_dtype)  # (E, 128) replicated
+            lgt0 = _dot(x0.astype(attn_dtype), tok_w)  # (N0, 128) fp32
+            lgt1 = _dot(x1.astype(attn_dtype), tok_w)
+            rows0 = jax.lax.broadcasted_iota(jnp.int32, (n0, 128), 0)
+            rows1 = jax.lax.broadcasted_iota(jnp.int32, (n1, 128), 0)
             if masked:
-                o = jnp.where(out_rows[img] < lens[img], o, 0.0)
-            heads.append(o.astype(dt))
-        ctx = jnp.concatenate(heads, axis=-1)  # (N, E)
-        message = _linear(ctx, sout)
-        new_xs.append(_ffn(xi, message, sffn1, sln_g, sln_b, sffn2))
-    x0, x1 = new_xs
+                valid0 = rows0 < lens[0]
+                valid1 = rows1 < lens[1]
+                total = jnp.maximum((lens[0] + lens[1]).astype(jnp.float32), 1.0)
+            else:
+                valid0 = rows0 >= 0
+                valid1 = rows1 >= 0
+                total = jnp.float32(n0 + n1)
+            cnt = (
+                jnp.sum(jnp.where((lgt0 >= thr) & valid0, 1.0, 0.0))
+                + jnp.sum(jnp.where((lgt1 >= thr) & valid1, 1.0, 0.0))
+            ) * (1.0 / 128.0)
+            stop = (cnt / total > depth_confidence) | (l >= n_layers - 1)
 
-    # ---- cross-attention block (reference lightglue.py:168-205) ----------
-    qk0_all = _linear(x0, cqk)
-    qk1_all = _linear(x1, cqk)
-    v0_all = _linear(x0, cv)
-    v1_all = _linear(x1, cv)
-    m0_heads, m1_heads = [], []
-    for h in range(num_heads):
-        c0 = h * head_dim
-        qk0 = qk0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
-        qk1 = qk1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
-        v0 = v0_all[:, c0 : c0 + head_dim].astype(attn_dtype)
-        v1 = v1_all[:, c0 : c0 + head_dim].astype(attn_dtype)
+            @pl.when(stop)
+            def _():
+                exit_ref[...] = jnp.full(
+                    exit_ref.shape, l.astype(jnp.float32) + 1.0, jnp.float32
+                )
 
-        # shared similarity matrix, computed once; direction 1->0 rides its
-        # transpose as a free contraction-axis choice on the MXU
-        s = _quant(_dot(qk0, qk1, contract=((1,), (1,))) * scale)  # (N0, N1)
+    if adaptive:
+        live = exit_ref[0, 0, 0] > l.astype(jnp.float32)
 
-        # normalization by the softmax denominator happens AFTER the PV
-        # matmul on the (N, D) output, not on the (N, N) probability matrix
-        # — 16x fewer VPU divides at D=64 (same algebra: l is constant along
-        # the contraction)
-        s_row = jnp.where(cross_cols < lens[1], s, _NEG_INF) if masked else s
-        m0s = _quant(jnp.max(s_row, axis=1, keepdims=True))
-        p0 = _quant(jnp.exp(s_row - m0s))
-        l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N0, 1)
-        o0 = _dot(p0.astype(attn_dtype), v1) / jnp.where(l0 == 0.0, 1.0, l0)
-
-        if cross_transposed:
-            # direction 1->0 on its own row-major similarity matrix: one
-            # extra (N1, D) x (D, N0) MXU matmul buys a lane-wise (axis=1)
-            # max/sum instead of the cross-sublane axis-0 reduction and the
-            # ones-vector column-sum matmul. st == s.T up to the same
-            # fp32-accumulated dot products; the softmax DENOMINATORS round
-            # differently (the default path sums a bf16-cast p via the ones
-            # matmul, this path sums fp32 p1), so parity vs the default is
-            # to ~0.005*scale, not bitwise.
-            st = _quant(_dot(qk1, qk0, contract=((1,), (1,))) * scale)
-            if masked:
-                st = jnp.where(cross_cols_t < lens[0], st, _NEG_INF)
-            m1s = _quant(jnp.max(st, axis=1, keepdims=True))
-            p1 = _quant(jnp.exp(st - m1s))
-            l1 = _quant(jnp.sum(p1, axis=1, keepdims=True))   # (N1, 1)
-            o1 = _dot(p1.astype(attn_dtype), v0)
-            o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
-        else:
-            s_col = (
-                jnp.where(cross_rows < lens[0], s, _NEG_INF) if masked else s
-            )
-            m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
-            p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
-            # column sums in (N1, 1) orientation via a ones-vector
-            # contraction on the MXU — a (1, N1) keepdims sum would need a
-            # cross-lane relayout to divide the (N1, D) output
-            l1 = _quant(
-                _dot(p1, jnp.ones((n0, 1), attn_dtype), contract=((0,), (0,)))
-            )
-            o1 = _dot(p1, v0, contract=((0,), (0,)))
-            o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
-
-        if masked:
-            o0 = jnp.where(out_rows[0] < lens[0], o0, 0.0)
-            o1 = jnp.where(out_rows[1] < lens[1], o1, 0.0)
-        m0_heads.append(o0.astype(dt))
-        m1_heads.append(o1.astype(dt))
-    m0 = _linear(jnp.concatenate(m0_heads, axis=-1), cout)
-    m1 = _linear(jnp.concatenate(m1_heads, axis=-1), cout)
-    x0 = _ffn(x0, m0, cffn1, cln_g, cln_b, cffn2)
-    x1 = _ffn(x1, m1, cffn1, cln_g, cln_b, cffn2)
-
-    out0_ref[...] = x0[None]
-    out1_ref[...] = x1[None]
+        @pl.when(live)
+        def _():
+            _run_layer()
+    else:
+        _run_layer()
 
 
 def supports(layers_params, n0: int, n1: int, act_dtype, tp_axis) -> bool:
@@ -569,3 +636,195 @@ def transformer_stack(
         interpret=_interpret(),
     )(lens, d0, d1, freqs0, freqs1, *weight_args)
     return out0, out1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "head_dim",
+        "scale",
+        "stat_dtype",
+        "attn_dtype",
+        "cross_transposed",
+        "depth_confidence",
+    ),
+)
+def transformer_stack_adaptive(
+    layers_params,
+    token_params,
+    d0: jax.Array,
+    d1: jax.Array,
+    freqs0: jax.Array,
+    freqs1: jax.Array,
+    lengths0: jax.Array,
+    lengths1: jax.Array,
+    *,
+    num_heads: int,
+    head_dim: int,
+    depth_confidence: float,
+    scale: Optional[float] = None,
+    stat_dtype=jnp.float32,
+    attn_dtype=None,
+    cross_transposed: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All layers in one kernel WITH in-kernel adaptive depth (early exit).
+
+    The fixed-depth megakernel extended with the upstream depth_confidence
+    semantics evaluated ON DEVICE inside the SAME pallas_call: after each
+    layer the token-confidence head runs on the VMEM-resident activations
+    (one (N, E) x (E, 128) matmul in logit space — no sigmoid, no extra
+    dispatch) and a per-pair exit register gates the remaining layer grid
+    steps with ``pl.when``. A stopped pair's later steps skip ALL compute
+    (weights still stream — the grid is static) and its activations stay
+    frozen, exactly like the lax.while_loop path in
+    models/lightglue.py:_forward_adaptive_impl — but without the per-layer
+    kernel launches, separate confidence matvec kernels and loop-carry
+    overhead that made adaptive exit-9 cost 27% over fixed depth
+    (golden/chip_r03/bench.out). Width pruning needs gather-based
+    compaction and stays on the loop path.
+
+    Args:
+      token_params: {"w": (L-1, E, 1), "b": (L-1, 1)} confidence heads
+        (layer L-1 has none upstream; the last slot is padded and never
+        consulted because the last layer forces an exit).
+      lengths0/lengths1: (B,) true keypoint counts (required — the session
+        always dispatches adaptive with lengths).
+
+    Returns:
+      (d0', d1', exit_layer): activations at each pair's exit layer and the
+      1-based exit layer per pair, like AdaptiveOutput.exit_layer.
+    """
+    if cross_transposed is None:
+        cross_transposed = _cross_transposed_default()
+    b, n0, e = d0.shape
+    n1 = d1.shape[1]
+    n_layers = layers_params["self_attn"]["ln_g"].shape[0]
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    stat_dtype = jnp.dtype(stat_dtype)
+    attn_dtype = jnp.dtype(attn_dtype) if attn_dtype is not None else d0.dtype
+
+    lens = jnp.stack(
+        [lengths0.astype(jnp.int32), lengths1.astype(jnp.int32)], axis=-1
+    )
+    freqs0 = freqs0.astype(jnp.float32)
+    freqs1 = freqs1.astype(jnp.float32)
+
+    # token head: pad the layer axis to L (the padded slot is never
+    # consulted — the last layer forces exit) and replicate the single
+    # output column across 128 lanes (see the kernel's count-by-128 trick)
+    tok_w = token_params["w"]                        # (L-1, E, 1)
+    tok_w = jnp.concatenate([tok_w, tok_w[-1:]], axis=0)
+    tok_w = jnp.broadcast_to(tok_w, (n_layers, e, 128)).astype(d0.dtype)
+    tok_b = token_params["b"].astype(jnp.float32)    # (L-1, 1)
+    tok_b = jnp.concatenate([tok_b, tok_b[-1:]], axis=0)
+
+    quantized = "w_q" in layers_params["self_attn"]["qkv"]
+    weight_args = tuple(_weight_args(layers_params, quantized))
+
+    def _wspec(a):
+        blk = (1,) + a.shape[1:]
+        return pl.BlockSpec(
+            blk,
+            lambda t, l: (l,) + (0,) * (a.ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _layer_stack_kernel,
+        scale=float(scale),
+        num_heads=num_heads,
+        head_dim=head_dim,
+        stat_dtype=stat_dtype,
+        attn_dtype=attn_dtype,
+        masked=True,
+        quantized=quantized,
+        cross_transposed=cross_transposed,
+        adaptive=True,
+        n_layers=int(n_layers),
+        depth_confidence=float(depth_confidence),
+    )
+
+    nsum = n0 + n1
+    proj_flops = (
+        2 * nsum * e * e * 7
+        + 2 * (2 * nsum * (2 * e) * (2 * e) + 2 * nsum * (2 * e) * e)
+        + 2 * nsum * e * 128  # confidence head
+    )
+    attn_flops = num_heads * head_dim * (
+        (n0 * n0 + n1 * n1) * (2 * 2 + 3)
+        + n0 * n1 * (2 * 2 + 3 + (2 if cross_transposed else 0))
+    )
+    flops = b * n_layers * (proj_flops + attn_flops)
+    weight_bytes = sum(
+        a.size * a.dtype.itemsize for a in weight_args
+    ) + tok_w.size * tok_w.dtype.itemsize
+
+    out0, out1, exit_f = pl.pallas_call(
+        kernel,
+        grid=(b, n_layers),
+        in_specs=[
+            pl.BlockSpec(
+                (b, 2), lambda t, l: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (n_layers, 1), lambda t, l: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, n0, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n1, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2, n0, head_dim),
+                lambda t, l: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, n1, head_dim),
+                lambda t, l: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [_wspec(a) for a in weight_args]
+        + [_wspec(tok_w)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, n0, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n1, e), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                # (8, 128) per pair: the minimum sublane x lane tile — a
+                # (1, 128) block violates the 8-sublane divisibility rule
+                # for B > 1
+                (1, 8, 128), lambda t, l: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n0, e), d0.dtype),
+            jax.ShapeDtypeStruct((b, n1, e), d1.dtype),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * (d0.size + d1.size) * d0.dtype.itemsize
+            + b * weight_bytes
+            + (freqs0.size + freqs1.size) * 4,
+            transcendentals=b
+            * n_layers
+            * (num_heads * (n0 * n0 + n1 * n1 + 2 * n0 * n1) + 2),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(
+                40 if d0.dtype == jnp.bfloat16 else 80
+            )
+            * 1024
+            * 1024
+        ),
+        interpret=_interpret(),
+    )(lens, tok_b, d0, d1, freqs0, freqs1, *weight_args, tok_w)
+    return out0, out1, exit_f[:, 0, 0].astype(jnp.int32)

@@ -750,6 +750,7 @@ def forward_adaptive(
     *,
     config: LightGlueConfig,
     policy: DTypePolicy,
+    force_loop: bool = False,
 ) -> AdaptiveOutput:
     """Adaptive-depth + keypoint-pruning forward, entirely on device.
 
@@ -773,12 +774,13 @@ def forward_adaptive(
     with jax.default_matmul_precision(policy.matmul_precision):
         return _forward_adaptive_impl(
             params, kpts0, kpts1, desc0, desc1, lengths0, lengths1,
-            config=config, policy=policy,
+            config=config, policy=policy, force_loop=force_loop,
         )
 
 
 def _forward_adaptive_impl(
-    params, kpts0, kpts1, desc0, desc1, lengths0, lengths1, *, config, policy
+    params, kpts0, kpts1, desc0, desc1, lengths0, lengths1, *, config, policy,
+    force_loop=False,
 ):
     n_layers = config.n_layers
     num_heads = (
@@ -801,6 +803,45 @@ def _forward_adaptive_impl(
 
     idx0 = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m))
     idx1 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+
+    # depth-only adaptive on the megakernel path: the whole early-exit loop
+    # folds INTO the single pallas_call (per-layer confidence head on
+    # VMEM-resident activations, pl.when-gated layer steps) — no per-layer
+    # kernel launches, no separate confidence matvecs, no loop carries.
+    # Width pruning needs gather-based compaction and stays on the
+    # while_loop below.
+    if (
+        do_depth
+        and not do_width
+        and not force_loop
+        and lengths0 is not None
+        and layer_stack.supports(params["layers"], m, n, act, None)
+    ):
+        fd0, fd1, exit_layer = layer_stack.transformer_stack_adaptive(
+            params["layers"],
+            params["token"],
+            d0,
+            d1,
+            freqs0,
+            freqs1,
+            lengths0,
+            lengths1,
+            num_heads=num_heads,
+            head_dim=config.head_dim,
+            depth_confidence=float(config.depth_confidence),
+            stat_dtype=policy.attn_stat_dtype,
+            attn_dtype=policy.attn_in_dtype,
+        )
+        final = dict(
+            d0=fd0,
+            d1=fd1,
+            len0=lengths0.astype(jnp.int32),
+            len1=lengths1.astype(jnp.int32),
+            idx0=idx0,
+            idx1=idx1,
+            exit_layer=exit_layer,
+        )
+        return _adaptive_tail(params, final, m, n, config, n_layers)
 
     state = dict(
         i=jnp.asarray(0, jnp.int32),
@@ -943,8 +984,12 @@ def _forward_adaptive_impl(
         return new
 
     final = jax.lax.while_loop(cond, body, state)
+    return _adaptive_tail(params, final, m, n, config, n_layers)
 
-    # per-pair assignment head of the exit layer
+
+def _adaptive_tail(params, final, m, n, config, n_layers):
+    """Per-pair assignment head of the exit layer + output packing (shared
+    by the while_loop and in-kernel adaptive paths)."""
     exit_idx = jnp.clip(final["exit_layer"] - 1, 0, n_layers - 1)
     assign_p = jax.tree.map(lambda a: a[exit_idx], params["assign"])
     mask0 = jnp.arange(m)[None, :] < final["len0"][:, None]

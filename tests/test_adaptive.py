@@ -117,6 +117,37 @@ def test_width_pruning_compacts_and_remaps(rng):
         assert s[l0:, :].max() < -1e20
 
 
+def test_inkernel_depth_matches_loop(rng):
+    """Depth-only adaptive routes through the in-kernel early-exit
+    megakernel (transformer_stack_adaptive); it must reproduce the
+    while_loop implementation exactly: same per-pair exit layers, same
+    scores. Token biases force pair exits at layer 2 (the per-layer
+    confidence head flips from 'nobody confident' to 'everyone
+    confident')."""
+    n_layers = 4
+    config = LightGlueConfig(n_layers=n_layers, depth_confidence=0.95)
+    tb = np.where(
+        np.arange(n_layers - 1)[:, None] >= 1, 50.0, -50.0
+    ).astype(np.float32)
+    token = {"w": np.zeros((n_layers - 1, 256, 1), np.float32), "b": tb}
+    params = _params(n_layers, token=token)
+    args = _inputs(rng, b=2)
+    fast = lg.forward_adaptive(params, *args, config=config, policy=POLICY)
+    loop = lg.forward_adaptive(
+        params, *args, config=config, policy=POLICY, force_loop=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.exit_layer), np.asarray(loop.exit_layer)
+    )
+    assert int(fast.exit_layer[0]) == 2
+    np.testing.assert_allclose(
+        np.asarray(fast.scores), np.asarray(loop.scores), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.lengths0), np.asarray(loop.lengths0)
+    )
+
+
 def test_width_pruning_noop_steps_preserve_state(rng):
     """width_confidence on but no token ever prunable (unconfident head):
     every step takes the no-compact branch of the lax.cond and the result
