@@ -26,15 +26,45 @@ from lightglue_tpu.runtime.session import MatcherSession
 
 
 def synth(h, w, seed, shift=0):
+    """Structured synthetic frame: box-blurred noise (natural-image-like
+    local texture). Raw uniform noise is position-degenerate for matching —
+    even with a whitened descriptor head, a random-weight LightGlue assigns
+    probability < 1e-3 everywhere on pure noise (observed on chip and CPU);
+    blurring restores locally distinctive blobs like the real frames the
+    demo/golden runs use."""
     rng = np.random.default_rng(seed)
     base = rng.random((h + 64, w + 64), np.float32)
-    # smooth it a bit so corners are localized
+    k = np.ones(9, np.float32) / 9.0
+    for axis in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, base
+        )
+    base -= base.min()
+    base /= max(base.max(), 1e-6)
     img = base[32 + shift : 32 + shift + h, 32 : 32 + w]
-    return img[..., None].astype(np.float32)
+    return np.ascontiguousarray(img)[..., None].astype(np.float32)
 
 
 def main():
-    session = MatcherSession(config=PipelineConfig(precision=Precision.BF16))
+    # match_threshold 0: random weights give near-uniform assignment
+    # probabilities (max exp(score) ~ 1/K^2) so any positive threshold
+    # empties the match set at K=1024 — same rationale as
+    # tests/test_fullscale_parity.py. The bar here is mutual-NN IDENTITY
+    # structure on an identical pair, not match probability mass.
+    config = PipelineConfig(precision=Precision.BF16, match_threshold=0.0)
+    # random-init weights only (no checkpoint in this env): ZCA-whiten the
+    # descriptor head on a calibration frame, exactly like cli/demo_mono.py
+    # — raw random convs collapse descriptors onto one direction and
+    # identical images then produce ZERO matches at threshold 0.1 (observed
+    # on-chip, golden/chip_r03/verify_session_unwhitened.out)
+    from lightglue_tpu.runtime import weights
+
+    sp_params = weights.whiten_superpoint_descriptors(
+        weights.init_superpoint(0, config.superpoint),
+        synth(480, 640, seed=1)[None],
+        config=config.superpoint,
+    )
+    session = MatcherSession(sp_params, config=config)
 
     # 1. identical pair
     img = synth(480, 640, seed=1)
