@@ -42,7 +42,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
+def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems,
+                 ss_scratch=None, *,
                  rows, w, cin, cout, relu, pool, out_dtype,
                  lane_pool=False, span=False):
     t = pl.program_id(0)
@@ -87,10 +88,15 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
         # blocks nonzero vs 6 of 12). The window array is built once per
         # strip; the three di taps are free sublane-offset views of it.
         half = cin // 2
-        ss = jnp.concatenate(
-            [xs[:, 0:w, half:], xs[:, 1 : w + 1, :], xs[:, 2 : w + 2, :half]],
-            axis=-1,
-        )  # (rows+2, w, 2*cin)
+        # Mosaic cannot concatenate 64-lane-offset slices directly
+        # ("result/input offset mismatch on non-concat dimension",
+        # golden/chip_r03/conv_span_ab.out) — assemble the window through a
+        # VMEM scratch ref instead, letting the three stores carry the lane
+        # relayouts.
+        ss_scratch[:, :, 0:half] = xs[:, 0:w, half:]
+        ss_scratch[:, :, half : half + cin] = xs[:, 1 : w + 1, :]
+        ss_scratch[:, :, half + cin :] = xs[:, 2 : w + 2, :half]
+        ss = ss_scratch[...]  # (rows+2, w, 2*cin)
         for di in range(3):
             lhs = ss[di : di + rows].reshape(n, 2 * cin)
             d = jax.lax.dot_general(
@@ -286,11 +292,15 @@ def _pack_span_weights(w) -> jax.Array:
 
 
 def _span_default() -> bool:
-    """Default for conv3x3_paired's span form; LGTPU_CONV_SPAN=1 enables it
-    for A/Bs. Read at trace time. OFF until the chip A/B
-    (scripts/bench_conv_ab.py span) proves the lane-window concatenate
-    lowers cleanly in Mosaic and wins in-model — evidence policy, same as
-    the transposed-S flag."""
+    """Default for conv3x3_paired's span form: OFF. The chip A/B
+    (golden/chip_r03/conv_span_ab.txt) measured the span packing EQUAL to
+    slightly slower than the parity-block form at every SuperPoint shape
+    (conv1b 0.50 vs 0.50-0.53, conv2b 0.126 vs 0.135): the theoretical 2/3
+    MXU-pass reduction is fully eaten by the scratch-ref window assembly —
+    Mosaic lowers the three 64-lane-offset stores as whole-strip lane
+    rotates (a direct lane-offset concatenate is rejected outright,
+    golden/chip_r03/conv_span_ab_concat_fail.out). Kept behind
+    LGTPU_CONV_SPAN=1 as a tested negative result. Read at trace time."""
     return os.environ.get("LGTPU_CONV_SPAN", "0") not in ("", "0")
 
 
@@ -392,7 +402,8 @@ def conv3x3_paired(
         scratch_shapes=[
             pltpu.VMEM((2, rows + 2, units + 2 + upad, 2 * c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + ([pltpu.VMEM((rows + 2, units, 4 * c), x.dtype)] if span else []),
         cost_estimate=pl.CostEstimate(
             # span: 6 128-deep MXU passes per point (75% dense);
             # parity-block: 9 (50% dense)
