@@ -123,6 +123,22 @@ def run_span_ab(name, h, w, cin, cout, pool, dtype=jnp.bfloat16, reps=2):
         )
 
 
+if len(_sys.argv) > 1 and _sys.argv[1] == "rows":
+    # strip-height sweep: LGTPU_CONV_ROWS is read at trace time inside
+    # _pick_rows, so set it per measurement before the first trace of each
+    # jit cache entry (each rows value is its own compile key via the
+    # resulting block shapes)
+    import os as _os
+    for rows in (16, 32, 48, 60, 96):
+        _os.environ["LGTPU_CONV_ROWS"] = str(rows)
+        # rows is not part of the jit key (same arg shapes) — drop the
+        # cached trace so the env override takes effect
+        ck.conv3x3_paired.clear_cache()
+        run_paired(f"conv1b r{rows}", 480, 640, 64, 64, True)
+    _os.environ.pop("LGTPU_CONV_ROWS", None)
+    _sys.exit(0)
+
+
 if len(_sys.argv) > 1 and _sys.argv[1] == "span":
     run_span_ab("conv1b+pool", 480, 640, 64, 64, True)
     run_span_ab("conv2a", 240, 320, 64, 64, False)

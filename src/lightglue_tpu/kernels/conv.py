@@ -134,7 +134,14 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems,
 
 def _pick_rows(h: int) -> int:
     """Strip height: big enough to amortize per-dot overheads, small enough
-    that two strip buffers + conv outputs stay comfortably in VMEM."""
+    that two strip buffers + conv outputs stay comfortably in VMEM.
+    LGTPU_CONV_ROWS overrides for chip A/Bs (scripts/bench_conv_ab.py
+    rows)."""
+    override = os.environ.get("LGTPU_CONV_ROWS", "")
+    if override:
+        rows = int(override)
+        if h % rows == 0:
+            return rows
     for rows in (32, 16, 8, 4, 2):
         if h % rows == 0:
             return rows
