@@ -123,6 +123,94 @@ def run_span_ab(name, h, w, cin, cout, pool, dtype=jnp.bfloat16, reps=2):
         )
 
 
+def run_offset_ab(name, h, w, cin, cout, pool, dtype=jnp.bfloat16, reps=3):
+    """Interleaved A/B: offset-paired input (6 unit-aligned 75%-dense
+    matmuls/point) vs parity-block (9 at 50%). Both consume the same
+    unpaired NHWC input, so the XLA-side pad/repack cost is inside both
+    timed regions."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32), dtype)
+    wts = jnp.asarray((rng.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    def make(use_offset):
+        def make_fn(iters):
+            @jax.jit
+            def runit(x, wts, b):
+                def body(carry, _):
+                    xi = x + carry.astype(x.dtype) * 1e-30
+                    o = ck.conv3x3_paired(
+                        xi, wts, b, relu=True, pool=pool, offset=use_offset
+                    )
+                    return o[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    gf = 2 * h * w * cin * cout * 9 / 1e9
+    for rep in range(reps):
+        tb = timed(make(False), x, wts, b)
+        to = timed(make(True), x, wts, b)
+        print(
+            f"{name:12s} rep{rep}: block {tb:7.3f} ms ({gf/tb:5.1f} TF) | "
+            f"offset {to:7.3f} ms ({gf/to:5.1f} TF)",
+            flush=True,
+        )
+
+
+def run_chain_ab(h=240, w=320, c=64, dtype=jnp.bfloat16, reps=3):
+    """conv2a->conv2b+pool two ways: paired chain (out_paired, conv2b on
+    9 parity-block matmuls, no relayout between) vs unpaired handoff
+    (conv2a emits NHWC — a relayout — and conv2b runs the 6-matmul offset
+    form). Decides whether the offset win survives the unpair cost."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32), dtype)
+    wa = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32))
+    ba = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    wb = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    def make(use_offset):
+        def chain(x):
+            if use_offset:
+                m = ck.conv3x3_paired(x, wa, ba, offset=True)
+                return ck.conv3x3_paired(m, wb, bb, offset=True, pool=True)
+            m = ck.conv3x3_paired(x, wa, ba, offset=True, out_paired=True)
+            return ck.conv3x3_paired(m, wb, bb, x_paired=True, pool=True)
+
+        def make_fn(iters):
+            @jax.jit
+            def runit(x):
+                def body(carry, _):
+                    xi = x + carry.astype(x.dtype) * 1e-30
+                    o = chain(xi)
+                    return o[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    for rep in range(reps):
+        tp = timed(make(False), x)
+        to = timed(make(True), x)
+        print(
+            f"conv2a->2b   rep{rep}: paired-chain {tp:7.3f} ms | "
+            f"unpair+offset {to:7.3f} ms",
+            flush=True,
+        )
+
+
+if len(_sys.argv) > 1 and _sys.argv[1] == "chain2":
+    run_chain_ab()
+    _sys.exit(0)
+
+
+if len(_sys.argv) > 1 and _sys.argv[1] == "offset":
+    run_offset_ab("conv1b+pool", 480, 640, 64, 64, True)
+    run_offset_ab("conv2a", 240, 320, 64, 64, False)
+    run_offset_ab("conv2b+pool", 240, 320, 64, 64, True)
+    _sys.exit(0)
+
+
 if len(_sys.argv) > 1 and _sys.argv[1] == "rows":
     # strip-height sweep: LGTPU_CONV_ROWS is read at trace time inside
     # _pick_rows, so set it per measurement before the first trace of each

@@ -45,7 +45,7 @@ def _interpret() -> bool:
 def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems,
                  ss_scratch=None, *,
                  rows, w, cin, cout, relu, pool, out_dtype,
-                 lane_pool=False, span=False):
+                 lane_pool=False, span=False, offset=False):
     t = pl.program_id(0)
     s = pl.program_id(1)
     nstrips = pl.num_programs(1)
@@ -79,7 +79,29 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems,
         else jax.lax.Precision.DEFAULT
     )
     o = None
-    if span:
+    if offset:
+        # offset-paired input (unit m = cols 2m-1, 2m — the SAME-halo pad
+        # column shifts the pairing by one relative to the output pairing):
+        # output unit m's 6 real (C, C) tap blocks then fall 3+3 onto input
+        # units m and m+1 — 75% weight density, 6 MXU pass-equivalents per
+        # point instead of the parity-block form's 9. Both units' blocks
+        # ride ONE (n, cin) @ (cin, 2*cout) matmul per row tap over the
+        # FULL strip (input unit j emits [to-out-j | to-out-j-1] halves),
+        # so the lhs flatten is layout-free — no per-tap unit-offset slice
+        # merges; the k=1 contribution folds in with a single
+        # sublane-shifted add at the end.
+        up = xs.shape[1]
+        for di in range(3):
+            lhs = xs[di : di + rows].reshape(rows * up, cin)
+            d = jax.lax.dot_general(
+                lhs, w_ref[di], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            o = d if o is None else o + d
+        o = o.reshape(rows, up, 2 * cout)
+        o = o[:, 0:w, 0:cout] + o[:, 1 : w + 1, cout : 2 * cout]
+    elif span:
         # 75%-dense span form (paired layout only): out unit m (cols 2m,
         # 2m+1) contracts the 4-column window 2m-1..2m+2 = [odd half of
         # unit m-1 | unit m | even half of unit m+1] in ONE 2*cin-deep
@@ -298,6 +320,29 @@ def _pack_span_weights(w) -> jax.Array:
     return wp
 
 
+def _pack_offset_weights(w) -> jax.Array:
+    """(3, 3, C, C_out) HWIO -> (3, 2C, 4C_out) combined offset tap weights.
+
+    Input unit m+k holds cols (2(m+k)-1 [half u=0], 2(m+k) [u=1]); output
+    unit m holds cols (2m [v=0], 2m+1 [v=1]). Tap index dj = 2k + u - v,
+    valid 0..2 — exactly 3 of 4 (u, v) blocks are nonzero for each k. The
+    k=0 and k=1 packings sit side by side in the output dim: input unit j's
+    matmul row emits [contribution to out j | contribution to out j-1], and
+    the kernel folds the second half in with one sublane-shifted add."""
+    _, _, c, co = w.shape
+    wp = jnp.zeros((3, 2 * c, 4 * co), w.dtype)
+    for k in (0, 1):
+        for u in (0, 1):
+            for v in (0, 1):
+                dj = 2 * k + u - v
+                if 0 <= dj <= 2:
+                    col = 2 * k * co + v * co
+                    wp = wp.at[
+                        :, u * c : (u + 1) * c, col : col + co
+                    ].set(w[:, dj])
+    return wp
+
+
 def _span_default() -> bool:
     """Default for conv3x3_paired's span form: OFF. The chip A/B
     (golden/chip_r03/conv_span_ab.txt) measured the span packing EQUAL to
@@ -315,7 +360,7 @@ def _span_default() -> bool:
     jax.jit,
     static_argnames=(
         "relu", "pool", "x_paired", "out_paired", "out_dtype", "interpret",
-        "span",
+        "span", "offset",
     ),
 )
 def conv3x3_paired(
@@ -330,6 +375,7 @@ def conv3x3_paired(
     out_dtype=None,
     interpret: bool | None = None,
     span: bool | None = None,
+    offset: bool = False,
 ) -> jax.Array:
     """SAME 3x3 conv via paired-column (space-to-depth-2) matmuls.
 
@@ -343,10 +389,17 @@ def conv3x3_paired(
         2*cin-deep matmul per row tap (75% weight density, 6 MXU passes of
         128 depth per point) instead of the 3 parity-block matmuls per row
         tap (50% density, 9 passes). Default: LGTPU_CONV_SPAN (on).
+      offset: pair the INPUT columns at a one-column offset from the output
+        pairing (unit m = cols 2m-1, 2m — the left SAME-pad column supplies
+        the shift), which redistributes each output unit's 6 real tap
+        blocks as 3+3 over two input units: 75% weight density in 6 plain
+        unit-aligned matmuls, with none of the span form's in-kernel window
+        assembly. Requires unpaired ``x``; composes with pool/out_paired.
     """
     assert not (pool and out_paired)
+    assert not (offset and x_paired), "offset pairing needs the raw layout"
     if span is None:
-        span = _span_default()
+        span = _span_default() and not offset
     btch, h = x.shape[:2]
     if x_paired:
         units, c2 = x.shape[2], x.shape[3]
@@ -355,17 +408,30 @@ def conv3x3_paired(
     else:
         w_dim, c = x.shape[2], x.shape[3]
         units = w_dim // 2
-        xu = x.reshape(btch, h, units, 2 * c)
+        if not offset:
+            xu = x.reshape(btch, h, units, 2 * c)
     cout = w.shape[-1]
     w_dim = 2 * units
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     interpret = _interpret() if interpret is None else interpret
     rows = _pick_rows(h)
-    # halo: 1 zero row top/bottom, 1 zero UNIT left/right (cols -2..-1 and
-    # W..W+1 are all zeros, covering the SAME padding), plus DMA alignment
-    upad = (-(units + 2)) % 8
-    xp = jnp.pad(xu, ((0, 0), (1, 1), (1, 1 + upad), (0, 0)))
-    wp = _pack_span_weights(w) if span else _pack_paired_weights(w)
+    if offset:
+        # halo: 1 zero row top/bottom; 1 zero col left (shifts the pairing)
+        # and right (covers SAME), then whole-unit zero cols up to the DMA
+        # sublane alignment. Input units span cols -1..W, i.e. units+1 of
+        # them; the kernel's two k-taps read units [0, units) and
+        # [1, units+1).
+        upad = (-(units + 1)) % 8
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + 2 * upad), (0, 0)))
+        xp = xp.reshape(btch, h + 2, units + 1 + upad, 2 * c)
+        wp = _pack_offset_weights(w)
+    else:
+        # halo: 1 zero row top/bottom, 1 zero UNIT left/right (cols -2..-1
+        # and W..W+1 are all zeros, covering the SAME padding), plus DMA
+        # alignment
+        upad = (-(units + 2)) % 8
+        xp = jnp.pad(xu, ((0, 0), (1, 1), (1, 1 + upad), (0, 0)))
+        wp = _pack_span_weights(w) if span else _pack_paired_weights(w)
     bp = jnp.concatenate([b, b]).astype(jnp.float32)
 
     oh = h // 2 if pool else h
@@ -379,19 +445,23 @@ def conv3x3_paired(
     kernel = functools.partial(
         _conv_kernel, rows=rows, w=units, cin=2 * c, cout=2 * cout,
         relu=relu, pool=False, lane_pool=pool, out_dtype=out_dtype,
-        span=span,
+        span=span, offset=offset,
     )
-    w_spec = (
-        pl.BlockSpec(
+    if span:
+        w_spec = pl.BlockSpec(
             (3, 4 * c, 2 * cout), lambda t, s: (0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        if span
-        else pl.BlockSpec(
+    elif offset:
+        w_spec = pl.BlockSpec(
+            (3, 2 * c, 4 * cout), lambda t, s: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        w_spec = pl.BlockSpec(
             (3, 3, 2 * c, 2 * cout), lambda t, s: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    )
     out = pl.pallas_call(
         kernel,
         grid=(btch, h // rows),
@@ -407,15 +477,16 @@ def conv3x3_paired(
         ),
         out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, rows + 2, units + 2 + upad, 2 * c), x.dtype),
+            pltpu.VMEM((2, rows + 2, xp.shape[2], 2 * c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
         + ([pltpu.VMEM((rows + 2, units, 4 * c), x.dtype)] if span else []),
         cost_estimate=pl.CostEstimate(
-            # span: 6 128-deep MXU passes per point (75% dense);
+            # span/offset: 6 128-deep MXU passes per point (75% dense);
             # parity-block: 9 (50% dense)
             flops=int(
-                2 * btch * h * w_dim * c * cout * 9 * (4 / 3 if span else 2)
+                2 * btch * h * w_dim * c * cout * 9
+                * (4 / 3 if (span or offset) else 2)
             ),
             bytes_accessed=xp.size * xp.dtype.itemsize
             + btch * oh * units * cout * out_dtype.itemsize

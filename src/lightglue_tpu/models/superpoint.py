@@ -163,11 +163,19 @@ def _forward_impl(params, image, *, config, policy):
         # 2.6 ms instead of 0.75 for the stem (measured,
         # scripts/bench_conv_ab.py chain)
         x = jax.lax.optimization_barrier(x)
+        # conv1b/conv2a consume unpaired maps, so they run the offset-paired
+        # 75%-dense form (6 MXU passes/point vs 9 — chip A/B
+        # golden/chip_r03/conv_offset_ab2.out: conv1b+pool 0.51 -> 0.34 ms);
+        # conv2b consumes conv2a's paired output directly and stays on the
+        # parity-block form — unpair+offset loses to the paired chain
+        # (golden/chip_r03/conv_chain2_ab.out).
         x = conv_kernel.conv3x3_paired(
-            x, params["conv1b"]["w"], params["conv1b"]["b"], pool=True
+            x, params["conv1b"]["w"], params["conv1b"]["b"], pool=True,
+            offset=True,
         )
         x = conv_kernel.conv3x3_paired(
-            x, params["conv2a"]["w"], params["conv2a"]["b"], out_paired=True
+            x, params["conv2a"]["w"], params["conv2a"]["b"], out_paired=True,
+            offset=True,
         )
         x = conv_kernel.conv3x3_paired(
             x,

@@ -241,3 +241,21 @@ def test_conv3x3_paired_matches_xla(rng):
             np.asarray(got_s), np.asarray(xla(x, w1, b1, True)), rtol=1e-5,
             atol=1e-5,
         )
+
+    # offset-paired input (75%-dense 6-matmul form): plain, fused pool, and
+    # the model's chain shape (offset + out_paired -> x_paired + pool)
+    got_o = conv_kernel.conv3x3_paired(x, w1, b1, offset=True)
+    np.testing.assert_allclose(
+        np.asarray(got_o), np.asarray(xla(x, w1, b1, False)), rtol=1e-5,
+        atol=1e-5,
+    )
+    got_op = conv_kernel.conv3x3_paired(x, w1, b1, pool=True, offset=True)
+    np.testing.assert_allclose(
+        np.asarray(got_op), np.asarray(xla(x, w1, b1, True)), rtol=1e-5,
+        atol=1e-5,
+    )
+    mid_o = conv_kernel.conv3x3_paired(x, w1, b1, offset=True, out_paired=True)
+    got_oc = conv_kernel.conv3x3_paired(mid_o, w2, b2, x_paired=True, pool=True)
+    np.testing.assert_allclose(
+        np.asarray(got_oc), np.asarray(want_c), rtol=1e-5, atol=1e-5
+    )
