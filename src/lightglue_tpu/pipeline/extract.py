@@ -172,6 +172,12 @@ def extract_keypoints(
     b, h, w = scores.shape
     masked = mask_borders(scores.astype(jnp.float32), config.remove_borders)
 
+    # NMS radius r leaves survivors pairwise > r apart, so a 4x4 tile with
+    # cap=1 (single max, no suppress rounds) is also exact for r >= 3 — but
+    # it LOSES on the chip (0.24 vs 0.20 ms standalone): the 16-lane tile
+    # rows waste 7/8 of every VPU op, which costs more than the three
+    # saved max/argmax/where rounds. Measured 2026-08-20; the tile=4 form
+    # stays available (and tested) via the tile/cap args.
     tile, cap = 8, 4
     tiled_ok = (
         config.detection_threshold > 0  # below-threshold ties may reorder

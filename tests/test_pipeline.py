@@ -146,6 +146,10 @@ def test_tiled_topk_matches_exact_topk(rng):
     )[:, :k], jnp.argsort(masked.reshape(2, -1), descending=True)[:, :k]
     tiled_v, tiled_i = _topk_nms_tiled(masked, k, h, w)
 
+    # tile=4/cap=1: a 4x4 tile holds at most one radius-4 NMS survivor, so
+    # a single per-tile max is exact (the production path for radius >= 3)
+    tiled4_v, tiled4_i = _topk_nms_tiled(masked, k, h, w, tile=4, cap=1)
+
     thr = 0.0005
     for b in range(2):
         nv = int(np.sum(np.asarray(exact_v[b]) > thr))
@@ -153,6 +157,12 @@ def test_tiled_topk_matches_exact_topk(rng):
             np.asarray(tiled_v[b, :nv]), np.asarray(exact_v[b, :nv])
         )
         assert (np.asarray(tiled_i[b, :nv]) == np.asarray(exact_i[b, :nv])).all()
+        np.testing.assert_allclose(
+            np.asarray(tiled4_v[b, :nv]), np.asarray(exact_v[b, :nv])
+        )
+        assert (
+            np.asarray(tiled4_i[b, :nv]) == np.asarray(exact_i[b, :nv])
+        ).all()
 
 
 def test_extract_tiled_path_used_and_correct(rng):
