@@ -89,40 +89,6 @@ def run_paired(name, h, w, cin, cout, pool, dtype=jnp.bfloat16):
     print(f"{name:12s}: paired {t:7.3f} ms ({gf/t:6.1f} TF)", flush=True)
 
 
-def run_span_ab(name, h, w, cin, cout, pool, dtype=jnp.bfloat16, reps=2):
-    """Interleaved A/B of the two paired-tap packings (VERDICT r2 #4):
-    span window matmuls (6 x 128-deep MXU passes/point) vs parity-block
-    (9 passes)."""
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32), dtype)
-    wts = jnp.asarray((rng.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
-
-    def make(use_span):
-        def make_fn(iters):
-            @jax.jit
-            def runit(x, wts, b):
-                def body(carry, _):
-                    xi = x + carry.astype(x.dtype) * 1e-30
-                    o = ck.conv3x3_paired(
-                        xi, wts, b, relu=True, pool=pool, span=use_span
-                    )
-                    return o[0, 0, 0, 0].astype(jnp.float32), ()
-                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
-            return runit
-        return make_fn
-
-    gf = 2 * h * w * cin * cout * 9 / 1e9
-    for rep in range(reps):
-        tb = timed(make(False), x, wts, b)
-        ts = timed(make(True), x, wts, b)
-        print(
-            f"{name:12s} rep{rep}: block {tb:7.3f} ms ({gf/tb:5.1f} TF) | "
-            f"span {ts:7.3f} ms ({gf/ts:5.1f} TF)",
-            flush=True,
-        )
-
-
 def run_offset_ab(name, h, w, cin, cout, pool, dtype=jnp.bfloat16, reps=3):
     """Interleaved A/B: offset-paired input (6 unit-aligned 75%-dense
     matmuls/point) vs parity-block (9 at 50%). Both consume the same
@@ -224,13 +190,6 @@ if len(_sys.argv) > 1 and _sys.argv[1] == "rows":
         ck.conv3x3_paired.clear_cache()
         run_paired(f"conv1b r{rows}", 480, 640, 64, 64, True)
     _os.environ.pop("LGTPU_CONV_ROWS", None)
-    _sys.exit(0)
-
-
-if len(_sys.argv) > 1 and _sys.argv[1] == "span":
-    run_span_ab("conv1b+pool", 480, 640, 64, 64, True)
-    run_span_ab("conv2a", 240, 320, 64, 64, False)
-    run_span_ab("conv2b+pool", 240, 320, 64, 64, True)
     _sys.exit(0)
 
 

@@ -47,10 +47,10 @@ run() {
 }
 
 run bench            3000 python bench.py
-run conv_span_ab     2400 python scripts/bench_conv_ab.py span
 run attrib_extract   2400 python scripts/attrib_extract.py
 run tpu_suite        4800 env LGTPU_TEST_TPU=1 python -m pytest tests/ -q
 run verify_session   2400 python scripts/verify_session.py
+run diag_fullscale   2400 python scripts/diag_fullscale_parity.py
 echo "$(date +%T) chip queue done" | tee -a "$OUT/log"
 
 # institutionalize the evidence (VERDICT r2 next-step 9)

@@ -42,10 +42,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems,
-                 ss_scratch=None, *,
+def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
                  rows, w, cin, cout, relu, pool, out_dtype,
-                 lane_pool=False, span=False, offset=False):
+                 lane_pool=False, offset=False):
     t = pl.program_id(0)
     s = pl.program_id(1)
     nstrips = pl.num_programs(1)
@@ -101,32 +100,6 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems,
             o = d if o is None else o + d
         o = o.reshape(rows, up, 2 * cout)
         o = o[:, 0:w, 0:cout] + o[:, 1 : w + 1, cout : 2 * cout]
-    elif span:
-        # 75%-dense span form (paired layout only): out unit m (cols 2m,
-        # 2m+1) contracts the 4-column window 2m-1..2m+2 = [odd half of
-        # unit m-1 | unit m | even half of unit m+1] in ONE 2*cin-deep
-        # matmul per row tap — 2 x 128-deep MXU passes instead of the
-        # 3 half-empty (du in -1,0,1) parity-block matmuls (6 of 8 weight
-        # blocks nonzero vs 6 of 12). The window array is built once per
-        # strip; the three di taps are free sublane-offset views of it.
-        half = cin // 2
-        # Mosaic cannot concatenate 64-lane-offset slices directly
-        # ("result/input offset mismatch on non-concat dimension",
-        # golden/chip_r03/conv_span_ab.out) — assemble the window through a
-        # VMEM scratch ref instead, letting the three stores carry the lane
-        # relayouts.
-        ss_scratch[:, :, 0:half] = xs[:, 0:w, half:]
-        ss_scratch[:, :, half : half + cin] = xs[:, 1 : w + 1, :]
-        ss_scratch[:, :, half + cin :] = xs[:, 2 : w + 2, :half]
-        ss = ss_scratch[...]  # (rows+2, w, 2*cin)
-        for di in range(3):
-            lhs = ss[di : di + rows].reshape(n, 2 * cin)
-            d = jax.lax.dot_general(
-                lhs, w_ref[di], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-            o = d if o is None else o + d
     else:
         for di in range(3):
             for dj in range(3):
@@ -302,24 +275,6 @@ def _pack_paired_weights(w) -> jax.Array:
     return wp
 
 
-def _pack_span_weights(w) -> jax.Array:
-    """(3, 3, C, C_out) HWIO -> (3, 4C, 2C_out) span tap weights.
-
-    Row block k (window column 2m-1+k, k in 0..3) feeds output column
-    2m+v (v in 0..1) through tap index k-v of the 3-tap kernel, valid for
-    0 <= k-v <= 2; 6 of the 8 (k, v) blocks are nonzero."""
-    _, _, c, co = w.shape
-    wp = jnp.zeros((3, 4 * c, 2 * co), w.dtype)
-    for k in range(4):
-        for v in (0, 1):
-            dj = k - v
-            if 0 <= dj <= 2:
-                wp = wp.at[
-                    :, k * c : (k + 1) * c, v * co : (v + 1) * co
-                ].set(w[:, dj])
-    return wp
-
-
 def _pack_offset_weights(w) -> jax.Array:
     """(3, 3, C, C_out) HWIO -> (3, 2C, 4C_out) combined offset tap weights.
 
@@ -343,24 +298,11 @@ def _pack_offset_weights(w) -> jax.Array:
     return wp
 
 
-def _span_default() -> bool:
-    """Default for conv3x3_paired's span form: OFF. The chip A/B
-    (golden/chip_r03/conv_span_ab.txt) measured the span packing EQUAL to
-    slightly slower than the parity-block form at every SuperPoint shape
-    (conv1b 0.50 vs 0.50-0.53, conv2b 0.126 vs 0.135): the theoretical 2/3
-    MXU-pass reduction is fully eaten by the scratch-ref window assembly —
-    Mosaic lowers the three 64-lane-offset stores as whole-strip lane
-    rotates (a direct lane-offset concatenate is rejected outright,
-    golden/chip_r03/conv_span_ab_concat_fail.out). Kept behind
-    LGTPU_CONV_SPAN=1 as a tested negative result. Read at trace time."""
-    return os.environ.get("LGTPU_CONV_SPAN", "0") not in ("", "0")
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "relu", "pool", "x_paired", "out_paired", "out_dtype", "interpret",
-        "span", "offset",
+        "offset",
     ),
 )
 def conv3x3_paired(
@@ -374,7 +316,6 @@ def conv3x3_paired(
     out_paired: bool = False,
     out_dtype=None,
     interpret: bool | None = None,
-    span: bool | None = None,
     offset: bool = False,
 ) -> jax.Array:
     """SAME 3x3 conv via paired-column (space-to-depth-2) matmuls.
@@ -385,21 +326,18 @@ def conv3x3_paired(
       pool: fuse the 2x2 maxpool; output is always unpaired (H/2, W/2, Cout).
       out_paired: (pool=False only) emit (B, H, W/2, 2*C_out) for the next
         paired conv.
-      span: contract each output unit's full 4-column input window in one
-        2*cin-deep matmul per row tap (75% weight density, 6 MXU passes of
-        128 depth per point) instead of the 3 parity-block matmuls per row
-        tap (50% density, 9 passes). Default: LGTPU_CONV_SPAN (on).
       offset: pair the INPUT columns at a one-column offset from the output
         pairing (unit m = cols 2m-1, 2m — the left SAME-pad column supplies
         the shift), which redistributes each output unit's 6 real tap
         blocks as 3+3 over two input units: 75% weight density in 6 plain
-        unit-aligned matmuls, with none of the span form's in-kernel window
-        assembly. Requires unpaired ``x``; composes with pool/out_paired.
+        unit-aligned matmuls with no in-kernel window assembly (the
+        alternative "span" window packing tied/lost on chip and could not
+        compile in its concat form — retired; see docs/PERFORMANCE.md
+        negative results). Requires unpaired ``x``; composes with
+        pool/out_paired.
     """
     assert not (pool and out_paired)
     assert not (offset and x_paired), "offset pairing needs the raw layout"
-    if span is None:
-        span = _span_default() and not offset
     btch, h = x.shape[:2]
     if x_paired:
         units, c2 = x.shape[2], x.shape[3]
@@ -431,7 +369,7 @@ def conv3x3_paired(
         # alignment
         upad = (-(units + 2)) % 8
         xp = jnp.pad(xu, ((0, 0), (1, 1), (1, 1 + upad), (0, 0)))
-        wp = _pack_span_weights(w) if span else _pack_paired_weights(w)
+        wp = _pack_paired_weights(w)
     bp = jnp.concatenate([b, b]).astype(jnp.float32)
 
     oh = h // 2 if pool else h
@@ -445,14 +383,9 @@ def conv3x3_paired(
     kernel = functools.partial(
         _conv_kernel, rows=rows, w=units, cin=2 * c, cout=2 * cout,
         relu=relu, pool=False, lane_pool=pool, out_dtype=out_dtype,
-        span=span, offset=offset,
+        offset=offset,
     )
-    if span:
-        w_spec = pl.BlockSpec(
-            (3, 4 * c, 2 * cout), lambda t, s: (0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    elif offset:
+    if offset:
         w_spec = pl.BlockSpec(
             (3, 2 * c, 4 * cout), lambda t, s: (0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -479,14 +412,13 @@ def conv3x3_paired(
         scratch_shapes=[
             pltpu.VMEM((2, rows + 2, xp.shape[2], 2 * c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-        ]
-        + ([pltpu.VMEM((rows + 2, units, 4 * c), x.dtype)] if span else []),
+        ],
         cost_estimate=pl.CostEstimate(
-            # span/offset: 6 128-deep MXU passes per point (75% dense);
+            # offset: 6 128-deep MXU passes per point (75% dense);
             # parity-block: 9 (50% dense)
             flops=int(
                 2 * btch * h * w_dim * c * cout * 9
-                * (4 / 3 if (span or offset) else 2)
+                * (4 / 3 if offset else 2)
             ),
             bytes_accessed=xp.size * xp.dtype.itemsize
             + btch * oh * units * cout * out_dtype.itemsize

@@ -233,15 +233,6 @@ def test_conv3x3_paired_matches_xla(rng):
         np.asarray(got_c), np.asarray(want_c), rtol=1e-5, atol=1e-5
     )
 
-    # both tap packings (span window-matmul vs parity-block) against the
-    # oracle and each other — whichever is default, the other must not rot
-    for use_span in (False, True):
-        got_s = conv_kernel.conv3x3_paired(x, w1, b1, pool=True, span=use_span)
-        np.testing.assert_allclose(
-            np.asarray(got_s), np.asarray(xla(x, w1, b1, True)), rtol=1e-5,
-            atol=1e-5,
-        )
-
     # offset-paired input (75%-dense 6-matmul form): plain, fused pool, and
     # the model's chain shape (offset + out_paired -> x_paired + pool)
     got_o = conv_kernel.conv3x3_paired(x, w1, b1, offset=True)
