@@ -55,23 +55,38 @@ ITERS_HI = 125
 REPEATS = 3
 
 
-def _best_total(fn, args):
+def _run_once(fn, args):
+    t0 = time.perf_counter()
     out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])  # warmup + force completion
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    np.asarray(jax.tree.leaves(out)[0])  # force completion through the relay
+    return time.perf_counter() - t0
 
 
 def _timed(make_fn, *args):
-    """Two-point per-iteration milliseconds: cancels fixed dispatch cost."""
-    t_lo = _best_total(make_fn(ITERS_LO), args)
-    t_hi = _best_total(make_fn(ITERS_HI), args)
-    return max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO) * 1e3
+    """Interleaved two-point estimates with error bars.
+
+    REPEATS reps each measure a (T_lo, T_hi) pair back to back and yield one
+    per-iteration estimate (T_hi - T_lo) / (ITERS_HI - ITERS_LO); the pairs
+    are interleaved so slow drift of the relay hits both points of a rep
+    equally (the r3 A/B methodology, golden/chip_r03/
+    cross_transposed_definitive.txt, promoted into the bench). Returns
+    {p50, min, spread_pct}: relay variance is real (5-10% run to run; an 18%
+    same-round swing on SuperPoint in r3), so a delta between two runs is
+    only interpretable against the spread — single numbers are not."""
+    fn_lo, fn_hi = make_fn(ITERS_LO), make_fn(ITERS_HI)
+    _run_once(fn_lo, args)  # compile + warmup both cache entries
+    _run_once(fn_hi, args)
+    est = []
+    for _ in range(REPEATS):
+        t_lo = _run_once(fn_lo, args)
+        t_hi = _run_once(fn_hi, args)
+        est.append(max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO) * 1e3)
+    p50 = float(np.median(est))
+    return {
+        "p50": round(p50, 3),
+        "min": round(min(est), 3),
+        "spread_pct": round((max(est) - min(est)) / p50 * 100.0, 1),
+    }
 
 
 def bench_lightglue(
@@ -292,81 +307,87 @@ def main():
         )
         return
     backend = jax.default_backend()
+    # every timing metric is a {p50, min, spread_pct} dict (see _timed) —
+    # a regression claim against a previous round is only valid when the
+    # delta exceeds both rounds' spreads
     lg_bf16 = bench_lightglue(Precision.BF16)
     extra = {
         "backend": backend,
-        "lightglue_bf16_1x1024_ms": round(lg_bf16, 3),
+        "lightglue_bf16_1x1024_ms": lg_bf16,
     }
     try:
-        extra["lightglue_bf16_masked_1x1024_ms"] = round(
-            bench_lightglue(Precision.BF16, masked=True), 3
+        extra["lightglue_bf16_masked_1x1024_ms"] = bench_lightglue(
+            Precision.BF16, masked=True
         )
         # genuinely partial bucket: 700 real keypoints in the 1024 bucket —
-        # quantifies what the in-kernel masking/tail-skipping actually saves
-        extra["lightglue_bf16_masked_700of1024_ms"] = round(
-            bench_lightglue(Precision.BF16, masked=True, actual=700), 3
+        # quantifies what the in-kernel masking/tail-skip machinery saves
+        extra["lightglue_bf16_masked_700of1024_ms"] = bench_lightglue(
+            Precision.BF16, masked=True, actual=700
         )
         # the session's actual dispatch for a 700-kpt pair under the
         # 128-step bucket ladder: the dense 768 executable (masked 700/768)
-        extra["lightglue_bf16_700_bucket768_ms"] = round(
-            bench_lightglue(Precision.BF16, n=768, masked=True, actual=700), 3
+        extra["lightglue_bf16_700_bucket768_ms"] = bench_lightglue(
+            Precision.BF16, n=768, masked=True, actual=700
         )
         # smaller buckets + a mixed-bucket pair (256 x 512 keypoints)
-        extra["lightglue_bf16_1x256_ms"] = round(
-            bench_lightglue(Precision.BF16, n=256), 3
+        extra["lightglue_bf16_1x256_ms"] = bench_lightglue(
+            Precision.BF16, n=256
         )
-        extra["lightglue_bf16_1x512_ms"] = round(
-            bench_lightglue(Precision.BF16, n=512), 3
+        extra["lightglue_bf16_1x512_ms"] = bench_lightglue(
+            Precision.BF16, n=512
         )
-        extra["lightglue_bf16_mixed_256x512_ms"] = round(
-            bench_lightglue(Precision.BF16, n=256, n1=512), 3
+        extra["lightglue_bf16_mixed_256x512_ms"] = bench_lightglue(
+            Precision.BF16, n=256, n1=512
         )
         # adaptive depth/width (BASELINE config 4): exit pinned at layer 3
         # and layer 9 via the token-confidence bias (see bench_lightglue) —
         # demonstrates early exit is proportional, and bounds the adaptive
         # machinery's overhead vs the fixed-depth megakernel path
-        extra["lightglue_bf16_adaptive_exit3_1x1024_ms"] = round(
-            bench_lightglue(Precision.BF16, adaptive=True, force_exit_layer=3),
-            3,
+        extra["lightglue_bf16_adaptive_exit3_1x1024_ms"] = bench_lightglue(
+            Precision.BF16, adaptive=True, force_exit_layer=3
         )
-        extra["lightglue_bf16_adaptive_exit9_1x1024_ms"] = round(
-            bench_lightglue(Precision.BF16, adaptive=True, force_exit_layer=9),
-            3,
+        extra["lightglue_bf16_adaptive_exit9_1x1024_ms"] = bench_lightglue(
+            Precision.BF16, adaptive=True, force_exit_layer=9
         )
         # depth-only adaptive rides the in-kernel early-exit megakernel
         # (one pallas_call for the whole loop) — width pruning off
-        extra["lightglue_bf16_adaptive_depth_exit3_1x1024_ms"] = round(
+        extra["lightglue_bf16_adaptive_depth_exit3_1x1024_ms"] = (
             bench_lightglue(
                 Precision.BF16, adaptive=True, depth_only=True,
                 force_exit_layer=3,
-            ),
-            3,
+            )
         )
-        extra["lightglue_bf16_adaptive_depth_exit9_1x1024_ms"] = round(
+        extra["lightglue_bf16_adaptive_depth_exit9_1x1024_ms"] = (
             bench_lightglue(
                 Precision.BF16, adaptive=True, depth_only=True,
                 force_exit_layer=9,
-            ),
-            3,
+            )
         )
-        extra["lightglue_mixed_1x1024_ms"] = round(
-            bench_lightglue(Precision.MIXED), 3
-        )
-        extra["lightglue_fp32_1x1024_ms"] = round(
-            bench_lightglue(Precision.FP32), 3
-        )
+        extra["lightglue_mixed_1x1024_ms"] = bench_lightglue(Precision.MIXED)
+        extra["lightglue_fp32_1x1024_ms"] = bench_lightglue(Precision.FP32)
         sp = bench_superpoint(Precision.BF16)
-        extra["superpoint_bf16_480x640_extract_ms"] = round(sp, 3)
-        extra["superpoint_vs_baseline"] = round(BASELINE_SP_FP32_MS / sp, 2)
-        b8 = bench_lightglue(Precision.BF16, batch=8) / 8
-        extra["lightglue_bf16_batch8_per_pair_ms"] = round(b8, 3)
-        extra["lightglue_bf16_pairs_per_s_chip"] = round(1e3 / b8, 1)
-        extra["lightglue_int8_1x1024_ms"] = round(
-            bench_lightglue(Precision.INT8), 3
+        extra["superpoint_bf16_480x640_extract_ms"] = sp
+        extra["superpoint_vs_baseline"] = round(
+            BASELINE_SP_FP32_MS / sp["p50"], 2
         )
+        b8 = bench_lightglue(Precision.BF16, batch=8)
+        b8 = {k: round(v / 8, 3) if k != "spread_pct" else v
+              for k, v in b8.items()}
+        extra["lightglue_bf16_batch8_per_pair_ms"] = b8
+        extra["lightglue_bf16_pairs_per_s_chip"] = round(1e3 / b8["p50"], 1)
+        extra["lightglue_int8_1x1024_ms"] = bench_lightglue(Precision.INT8)
+        # int8's one plausible win is weight streaming (the megakernel
+        # streams b x weight_bytes per dispatch, kernels/layer_stack.py) —
+        # measure it where halved weight bytes should actually show
+        i8b8 = bench_lightglue(Precision.INT8, batch=8)
+        i8b8 = {k: round(v / 8, 3) if k != "spread_pct" else v
+                for k, v in i8b8.items()}
+        extra["lightglue_int8_batch8_per_pair_ms"] = i8b8
         e2e = bench_e2e(Precision.BF16)
-        extra["e2e_pair_bf16_ms"] = round(e2e, 3)
-        extra["e2e_vs_demo_baseline"] = round((30.21 + 45.29) / e2e, 2)
+        extra["e2e_pair_bf16_ms"] = e2e
+        extra["e2e_vs_demo_baseline"] = round(
+            (30.21 + 45.29) / e2e["p50"], 2
+        )
     except Exception as e:  # secondary metrics must not kill the headline
         extra["secondary_error"] = repr(e)[:200]
 
@@ -374,9 +395,9 @@ def main():
         json.dumps(
             {
                 "metric": "LightGlue 1x1024x1024 bf16 full match step p50 latency",
-                "value": round(lg_bf16, 3),
+                "value": lg_bf16["p50"],
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_LG_FP16_MS / lg_bf16, 2),
+                "vs_baseline": round(BASELINE_LG_FP16_MS / lg_bf16["p50"], 2),
                 "extra": extra,
             }
         )

@@ -46,32 +46,37 @@ def main():
     results = {}
     if args.all:
         for prec in ("fp32", "mixed", "bf16", "int8"):
-            ms = bench_mod.bench_lightglue(Precision(prec), args.kpts, args.batch)
-            results[f"lightglue_{prec}_{args.batch}x{args.kpts}_ms"] = round(ms, 3)
+            st = bench_mod.bench_lightglue(Precision(prec), args.kpts, args.batch)
+            results[f"lightglue_{prec}_{args.batch}x{args.kpts}_ms"] = st
+            ms = st["p50"]
             print(f"lightglue {prec:5s} {args.batch}x{args.kpts}: {ms:.3f} ms "
-                  f"({1e3 / ms * args.batch:.1f} pairs/s)")
-        ms = bench_mod.bench_superpoint(
+                  f"+-{st['spread_pct']:.1f}% ({1e3 / ms * args.batch:.1f} pairs/s)")
+        st = bench_mod.bench_superpoint(
             Precision.BF16, args.height, args.width
         )
-        results["superpoint_bf16_ms"] = round(ms, 3)
-        print(f"superpoint bf16 {args.height}x{args.width}: {ms:.3f} ms")
+        results["superpoint_bf16_ms"] = st
+        print(f"superpoint bf16 {args.height}x{args.width}: {st['p50']:.3f} ms "
+              f"+-{st['spread_pct']:.1f}%")
     elif args.model == "lightglue":
-        ms = bench_mod.bench_lightglue(
+        st = bench_mod.bench_lightglue(
             Precision(args.precision), args.kpts, args.batch
         )
-        results[f"lightglue_{args.precision}_ms"] = round(ms, 3)
+        results[f"lightglue_{args.precision}_ms"] = st
+        ms = st["p50"]
         print(
             f"lightglue {args.precision} {args.batch}x{args.kpts}x{args.kpts}: "
-            f"{ms:.3f} ms/step ({1e3 / ms * args.batch:.1f} pairs/s)"
+            f"{ms:.3f} ms/step +-{st['spread_pct']:.1f}% "
+            f"({1e3 / ms * args.batch:.1f} pairs/s)"
         )
     else:
-        ms = bench_mod.bench_superpoint(
+        st = bench_mod.bench_superpoint(
             Precision(args.precision), args.height, args.width
         )
-        results["superpoint_ms"] = round(ms, 3)
+        results["superpoint_ms"] = st
         print(
             f"superpoint {args.precision} {args.height}x{args.width}: "
-            f"{ms:.3f} ms ({1e3 / ms:.1f} images/s)"
+            f"{st['p50']:.3f} ms +-{st['spread_pct']:.1f}% "
+            f"({1e3 / st['p50']:.1f} images/s)"
         )
     print(json.dumps(results))
 
