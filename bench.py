@@ -140,7 +140,15 @@ def bench_lightglue(
                 np.asarray(raw["assign"]["match"]["b"]), 50.0
             )),
         )
-    params = weights.to_jax(raw, policy.param_dtype)
+    if policy.int8_weights:
+        # the INT8 rung is int8 weights + per-channel scales (what the
+        # session builds); without this the "int8" bench silently measured
+        # the bf16 megakernel path — r3's int8 numbers did exactly that
+        from lightglue_tpu.quant import quantize_lightglue
+
+        params = weights.to_jax(quantize_lightglue(raw))
+    else:
+        params = weights.to_jax(raw, policy.param_dtype)
     rng = np.random.default_rng(0)
     kpts0 = jnp.asarray(rng.uniform(-1, 1, (batch, n, 2)).astype(np.float32))
     kpts1 = jnp.asarray(rng.uniform(-1, 1, (batch, n1, 2)).astype(np.float32))

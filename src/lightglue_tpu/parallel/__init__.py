@@ -3,6 +3,7 @@ from lightglue_tpu.parallel.mesh import (
     AXIS_MODEL,
     lightglue_param_specs,
     make_mesh,
+    make_parallel_adaptive_fn,
     make_parallel_match_fn,
     make_parallel_extract_fn,
     shard_lightglue_params,
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh",
     "lightglue_param_specs",
     "shard_lightglue_params",
+    "make_parallel_adaptive_fn",
     "make_parallel_match_fn",
     "make_parallel_extract_fn",
     "ring_attention",
