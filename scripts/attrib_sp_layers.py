@@ -40,10 +40,10 @@ def _prefix(params, image, policy, upto, config):
         if upto == "conv1a":
             return x
         x = jax.lax.optimization_barrier(x)
-        x = conv_kernel.conv3x3_paired(x, p["conv1b"]["w"], p["conv1b"]["b"], pool=True)
+        x = conv_kernel.conv3x3_paired(x, p["conv1b"]["w"], p["conv1b"]["b"], pool=True, offset=True)
         if upto == "stem":
             return x
-        x = conv_kernel.conv3x3_paired(x, p["conv2a"]["w"], p["conv2a"]["b"], out_paired=True)
+        x = conv_kernel.conv3x3_paired(x, p["conv2a"]["w"], p["conv2a"]["b"], out_paired=True, offset=True)
         x = conv_kernel.conv3x3_paired(x, p["conv2b"]["w"], p["conv2b"]["b"], x_paired=True, pool=True)
         if upto == "enc2":
             return x
@@ -57,7 +57,11 @@ def _prefix(params, image, policy, upto, config):
             return x
         cpa = sp._relu_conv(p["convPa"], x)
         logits = sp._conv(p["convPb"], cpa).astype(jnp.float32)
+        if upto == "logits":
+            return logits
         probs = jax.nn.softmax(logits, axis=-1)[..., :-1]
+        if upto == "softmax":
+            return probs
         b, h, w, _ = probs.shape
         scores = probs.reshape(b, h, w, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
@@ -74,7 +78,7 @@ def _prefix(params, image, policy, upto, config):
 
 def main():
     config, policy, params, image = _setup()
-    stages = ["conv1a", "stem", "enc2", "enc3", "enc4", "headP", "nms", "full"]
+    stages = ["conv1a", "stem", "enc2", "enc3", "enc4", "logits", "softmax", "headP", "nms", "full"]
     prev = 0.0
     for st in stages:
         def make_fn(iters, st=st):

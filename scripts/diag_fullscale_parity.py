@@ -121,19 +121,45 @@ def main():
     s0 = lg_scores[0]
     srt_r = np.sort(s0, axis=1)
     srt_c = np.sort(s0, axis=0)
+    row_margin = srt_r[:, -1] - srt_r[:, -2]
+    col_margin = srt_c[-1, :] - srt_c[-2, :]
+
+    def solid_sets(margin):
+        tie0 = {tuple(k0[i]) for i in np.nonzero(row_margin < margin)[0]}
+        tie1 = {tuple(k1[j]) for j in np.nonzero(col_margin < margin)[0]}
+
+        def solid(ms):
+            return {k_ for k_ in ms if k_[0] not in tie0 and k_[1] not in tie1}
+
+        return solid(set(ours)), solid(set(want))
+
+    # sensitivity of the solid-set size to the tie margin (VERDICT r4 #1c:
+    # 43-of-107 must not be a magic number)
+    for m in (0.15, 0.25, 0.35):
+        os_, ws_ = solid_sets(m)
+        c_, u_ = os_ & ws_, os_ | ws_
+        print(f"margin={m:.2f}: solid ours={len(os_)} oracle={len(ws_)} "
+              f"common={len(c_)} iou={len(c_)/max(1,len(u_)):.4f}")
+
     MARGIN = 0.25
-    tie0 = {tuple(k0[i]) for i in np.nonzero(srt_r[:, -1] - srt_r[:, -2] < MARGIN)[0]}
-    tie1 = {tuple(k1[j]) for j in np.nonzero(srt_c[-1, :] - srt_c[-2, :] < MARGIN)[0]}
-
-    def solid(ms):
-        return {key for key in ms if key[0] not in tie0 and key[1] not in tie1}
-
-    ours_solid, want_solid = solid(set(ours)), solid(set(want))
+    ours_solid, want_solid = solid_sets(MARGIN)
     common = ours_solid & want_solid
     union = ours_solid | want_solid
     print(f"matches ours={len(ours)} oracle={len(want)} "
           f"solid ours={len(ours_solid)} oracle={len(want_solid)} "
           f"common={len(common)} iou={len(common)/max(1,len(union)):.4f}")
+
+    # ---- full-set (unrestricted) disagreement accounting ---------------
+    # classify EVERY disagreement of the raw match sets; the derived floor
+    # the test asserts is 1 - attributable/|union| where attributable =
+    # matches touching a divergent keypoint, whose oracle-side competitor
+    # is divergent, or whose oracle argmax margin is under 2x the measured
+    # elementwise score error (an argmax flip needs 2x the jitter)
+    full_union = set(ours) | set(want)
+    full_common = set(ours) & set(want)
+    print(f"full match sets: ours={len(ours)} oracle={len(want)} "
+          f"common={len(full_common)} union={len(full_union)} "
+          f"iou={len(full_common)/max(1,len(full_union)):.4f}")
 
     # ---- classify each disagreement ------------------------------------
     okidx0 = {tuple(p): i for i, p in enumerate(k0)}
@@ -141,14 +167,29 @@ def main():
     our_scores = np.asarray(result["scores"])  # (N0_ours, N1_ours) our kpt order
 
     flips = []
-    for key in sorted(union - common):
-        side = "OURS-ONLY" if key in ours_solid else "ORACLE-ONLY"
+    n_attributable = 0
+    # common-kpt elementwise error bound (computed ahead of the loop so the
+    # tie-attribution cutoff 2*err is available for classification)
+    map0 = np.asarray([ours_k0.get(tuple(p), -1) for p in k0])
+    map1 = np.asarray([ours_k1.get(tuple(p), -1) for p in k1])
+    c0 = np.nonzero(map0 >= 0)[0]
+    c1 = np.nonzero(map1 >= 0)[0]
+    err_mat = np.abs(
+        our_scores[np.ix_(map0[c0], map1[c1])] - s0[np.ix_(c0, c1)]
+    )
+    score_err = float(err_mat.max())
+    print(f"common-kpt score err: max={score_err:.3e} "
+          f"p99={np.percentile(err_mat, 99):.3e} mean={err_mat.mean():.3e}")
+    print(f"tie-attribution cutoff 2*err = {2 * score_err:.4f}")
+    for key in sorted(full_union - full_common):
+        side = "OURS-ONLY" if key in ours else "ORACLE-ONLY"
         p0, p1 = key
         in_o0, in_o1 = p0 in okidx0, p1 in okidx1
         in_u0, in_u1 = p0 in ours_k0, p1 in ours_k1
         if not (in_o0 and in_o1 and in_u0 and in_u1):
             cls = "KPT-DIVERGENT"
             det = f"oracle_has=({in_o0},{in_o1}) ours_has=({in_u0},{in_u1})"
+            n_attributable += 1
         else:
             i, j = okidx0[p0], okidx1[p1]
             ui, uj = ours_k0[p0], ours_k1[p1]
@@ -163,20 +204,32 @@ def main():
             competitor_divergent = (
                 orc_col_winner not in ours_k0 or orc_row_winner not in ours_k1
             )
-            cls = (
-                "COMPETITOR-KPT-DIVERGENT"
-                if competitor_divergent
-                else "ARGMAX/MUTUAL-FLIP"
+            sub_jitter_tie = (
+                row_margin[i] < 2 * score_err or col_margin[j] < 2 * score_err
             )
+            if competitor_divergent:
+                cls = "COMPETITOR-KPT-DIVERGENT"
+                n_attributable += 1
+            elif sub_jitter_tie:
+                cls = "SUB-JITTER-TIE"
+                n_attributable += 1
+            else:
+                cls = "ARGMAX/MUTUAL-FLIP"
             det = (f"orc s={s0[i, j]:+.4f} row_margin={srt_r[i, -1]-srt_r[i, -2]:.4f} "
                    f"col_margin={srt_c[-1, j]-srt_c[-2, j]:.4f} "
                    f"our s={our_scores[ui, uj]:+.4f} "
                    f"our_row_max={our_row.max():+.4f} our_col_max={our_col.max():+.4f} "
                    f"orc_col_winner_in_ours={orc_col_winner in ours_k0} "
                    f"orc_row_winner_in_ours={orc_row_winner in ours_k1}")
-            if not competitor_divergent:
+            if not competitor_divergent and not sub_jitter_tie:
                 flips.append((i, j))
         print(f"  {side} {cls} {key} {det}")
+
+    floor = 1.0 - n_attributable / max(1, len(full_union))
+    full_iou = len(full_common) / max(1, len(full_union))
+    print(f"attributable disagreements={n_attributable} "
+          f"true flips={len(flips)} derived full_iou floor={floor:.4f} "
+          f"(measured full_iou={full_iou:.4f}, must be >= floor)")
 
     # ---- float64 anchor for true flips ---------------------------------
     if flips:
@@ -192,15 +245,6 @@ def main():
             print(f"  flip ({i},{j}): f64 s={s64[i, j]:+.6f} "
                   f"f64_row_arg={int(np.argmax(s64[i]))} orc_row_arg={int(np.argmax(s0[i]))} "
                   f"f64_col_arg={int(np.argmax(s64[:, j]))} orc_col_arg={int(np.argmax(s0[:, j]))}")
-
-    # ---- how close is OUR pipeline to the oracle on common kpts? -------
-    map0 = np.asarray([ours_k0.get(tuple(p), -1) for p in k0])
-    map1 = np.asarray([ours_k1.get(tuple(p), -1) for p in k1])
-    c0 = np.nonzero(map0 >= 0)[0]
-    c1 = np.nonzero(map1 >= 0)[0]
-    err = np.abs(our_scores[np.ix_(map0[c0], map1[c1])] - s0[np.ix_(c0, c1)])
-    print(f"common-kpt score err: max={err.max():.3e} p99={np.percentile(err, 99):.3e} "
-          f"mean={err.mean():.3e}")
 
 
 if __name__ == "__main__":

@@ -206,7 +206,7 @@ def test_fullscale_sacre_coeur_match_set_parity(setup):
     # IDENTICAL SuperPoint outputs (same engine, SURVEY.md §4.2) — keypoint
     # extraction identity is a separate property, gated above at >=99%.
     # Cross-implementation top-k keypoint selection is undefined at the
-    # detection-score boundary (chip diagnosis, golden/chip_r03/
+    # detection-score boundary (chip diagnosis, golden/chip_r04/
     # diag_fullscale.out: the round-2 IoU "failure" was exactly 4 boundary
     # keypoints at oracle ranks 1015-1022 whose competing argmax rows exist
     # in only one pipeline). So the match-set bar runs both matchers on the
@@ -237,10 +237,58 @@ def test_fullscale_sacre_coeur_match_set_parity(setup):
     union = ours_solid | want_solid
     iou = len(common) / max(1, len(union))
 
-    # full-pipeline match-set IoU (boundary keypoints included) — recorded
-    # for the log, not asserted: the top-k boundary is the only undefined
-    # part and the extraction gates above already bound it
-    full_iou = len(set(ours) & set(want)) / max(1, len(set(ours) | set(want)))
+    # ---- full-pipeline match-set IoU vs a DERIVED floor -----------------
+    # Every disagreement of the RAW (unrestricted) match sets must be
+    # attributable to one of the two implementation-undefined mechanisms
+    # quantified above:
+    #   (a) a top-k-boundary keypoint divergence — on either side of the
+    #       match, or as the oracle's competing argmax (extraction identity
+    #       is gated >= 99% above; top-k order at the detection-score
+    #       boundary is undefined across implementations); or
+    #   (b) an oracle argmax margin below 2x the measured elementwise score
+    #       error (an argmax flip needs twice the jitter), so the winner is
+    #       implementation-undefined.
+    # floor = 1 - attributable / |union|. A real numerical defect produces
+    # a NON-attributable disagreement: it both empties the floor slack and
+    # appears in `unexplained`. Chip record backing the magnitudes:
+    # golden/chip_r04/diag_fullscale.out (4 boundary keypoints at oracle
+    # detection ranks 1015-1022; 0 true flips; floor 0.90-0.92 vs measured
+    # full_iou equal to it).
+    full_union = set(ours) | set(want)
+    full_common = set(ours) & set(want)
+    full_iou = len(full_common) / max(1, len(full_union))
+
+    s0 = lg_scores[0]
+    fr = np.sort(s0, axis=1)
+    fc = np.sort(s0, axis=0)
+    full_row_margin = fr[:, -1] - fr[:, -2]
+    full_col_margin = fc[-1, :] - fc[-2, :]
+    row_arg = np.argmax(s0, axis=1)
+    col_arg = np.argmax(s0, axis=0)
+    okidx0 = {tuple(p): i for i, p in enumerate(k0)}
+    okidx1 = {tuple(p): i for i, p in enumerate(k1)}
+    uk0 = {tuple(p) for p in np.asarray(result["keypoints0"])}
+    uk1 = {tuple(p) for p in np.asarray(result["keypoints1"])}
+    cutoff = 2.0 * score_err
+    n_attributable = 0
+    unexplained = []
+    for p0, p1 in full_union - full_common:
+        i = okidx0.get(p0)
+        j = okidx1.get(p1)
+        if i is None or j is None or p0 not in uk0 or p1 not in uk1:
+            n_attributable += 1  # (a): match touches a divergent keypoint
+            continue
+        if (
+            tuple(k0[col_arg[j]]) not in uk0
+            or tuple(k1[row_arg[i]]) not in uk1
+        ):
+            n_attributable += 1  # (a): the competing argmax is divergent
+            continue
+        if full_row_margin[i] < cutoff or full_col_margin[j] < cutoff:
+            n_attributable += 1  # (b): sub-jitter tie
+            continue
+        unexplained.append((p0, p1))
+    floor = 1.0 - n_attributable / max(1, len(full_union))
 
     # quality record for the log (matches_demo_mono_0/console.txt analog)
     inliers = -1
@@ -259,6 +307,7 @@ def test_fullscale_sacre_coeur_match_set_parity(setup):
         f"matches ours={len(ours)} oracle={len(want)} "
         f"common_kpts=({len(c0)}/{MAX_KPTS},{len(c1)}/{MAX_KPTS}) "
         f"solid_common={len(common)} iou={iou:.4f} full_iou={full_iou:.4f} "
+        f"floor={floor:.4f} attributable={n_attributable} "
         f"score_max_abs_err={score_err:.2e} ransac_inliers={inliers}"
     )
 
@@ -266,6 +315,16 @@ def test_fullscale_sacre_coeur_match_set_parity(setup):
         f"match sets diverge on the common keypoint set: "
         f"ours={len(ours_solid)} oracle={len(want_solid)} "
         f"solid_common={len(common)} iou={iou:.4f}"
+    )
+    # the full-set bar: no disagreement may lack an attribution, and the
+    # IoU must sit on or above the floor those attributions imply
+    assert not unexplained, (
+        f"non-attributable full-set match disagreements (true flips): "
+        f"{unexplained[:5]} (+{max(0, len(unexplained) - 5)} more)"
+    )
+    assert full_iou >= floor - 1e-9, (
+        f"full-pipeline match-set IoU {full_iou:.4f} below derived floor "
+        f"{floor:.4f} ({n_attributable} attributable of {len(full_union)})"
     )
     # match scores are exp(log-assignment): the +-0.07 chaotic log-score
     # jitter quantified above is ~7% relative after exponentiation
