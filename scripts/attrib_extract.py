@@ -47,10 +47,37 @@ def main():
                     masked = ex.mask_borders(
                         scores.astype(jnp.float32), config.remove_borders
                     )
+                    if kind == "cands":
+                        # candidate generation only (tile max/argmax rounds)
+                        b = masked.shape[0]
+                        th, tw = H // 8, W // 8
+                        tiles = (
+                            masked.reshape(b, th, 8, tw, 8)
+                            .transpose(0, 1, 3, 2, 4)
+                            .reshape(b, th * tw, 64)
+                        )
+                        lane = jax.lax.broadcasted_iota(jnp.int32, tiles.shape, 2)
+                        vals = []
+                        t = tiles
+                        for _ in range(4):
+                            v = jnp.max(t, axis=-1)
+                            a = jnp.argmax(t, axis=-1).astype(jnp.int32)
+                            vals.append(v)
+                            t = jnp.where(lane == a[..., None], -jnp.inf, t)
+                        out = vals[0][0, 0] + vals[3][0, 0]
+                        return out + desc[0, 0, 0, 0].astype(jnp.float32), ()
                     if kind == "topk":
                         tv, ti = ex._topk_nms_tiled(masked, K, H, W)
                         out = tv[0, 0] + ti[0, 0].astype(jnp.float32)
                         return out + desc[0, 0, 0, 0].astype(jnp.float32), ()
+                    if kind == "nosample":
+                        # everything except descriptor sampling
+                        tv, ti = ex._topk_nms_tiled(masked, K, H, W)
+                        ys = (ti // W).astype(jnp.float32)
+                        xs = (ti % W).astype(jnp.float32)
+                        kpts = jnp.stack([xs, ys], axis=-1)
+                        kn = ex.normalize_keypoints(kpts, H, W)
+                        return kn[0, 0, 0] + tv[0, 0] + desc[0, 0, 0, 0].astype(jnp.float32), ()
                     e = ex.extract_keypoints(scores, desc, config=config)
                     out = e.scores[0, 0] + e.descriptors[0, 0, 0]
                     return out.astype(jnp.float32), ()
@@ -62,7 +89,7 @@ def main():
         return timed(make, params, image)
 
     prev = 0.0
-    for kind in ("forward", "topk", "full"):
+    for kind in ("forward", "cands", "topk", "nosample", "full"):
         ms = stage(kind)
         print(f"{kind:>8}  cum {ms:7.3f} ms   delta {ms - prev:7.3f} ms", flush=True)
         prev = ms

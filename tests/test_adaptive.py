@@ -219,3 +219,89 @@ def test_session_adaptive_roundtrip(rng):
         assert matches[:, 1].max() < result["num_keypoints1"]
         # no duplicate rows (mutual-NN guarantees row uniqueness)
         assert len(np.unique(matches[:, 0])) == len(matches)
+
+
+def test_inkernel_width_matches_loop(rng):
+    """Depth+width adaptive routes through the in-kernel keep-mask
+    megakernel; it must reproduce the while_loop implementation (per-layer
+    gather compaction): same per-pair exit layers, same surviving lengths,
+    same index maps, same scores. A wide-spread token head makes ~half the
+    tokens confident each layer (below the 0.95 depth ratio, so no early
+    exit) and the aggressive width_confidence=0.2 prunes the confident-but-
+    unmatchable ones — pruning is active at every non-final layer."""
+    n_layers = 4
+    config = LightGlueConfig(
+        n_layers=n_layers, depth_confidence=0.95, width_confidence=0.2
+    )
+    trng = np.random.default_rng(7)
+    token = {
+        "w": (trng.standard_normal((n_layers - 1, 256, 1)) * 1.0).astype(
+            np.float32
+        ),
+        "b": np.zeros((n_layers - 1, 1), np.float32),
+    }
+    params = _params(n_layers, token=token)
+    args = _inputs(rng, b=2)
+    fast = lg.forward_adaptive(params, *args, config=config, policy=POLICY)
+    loop = lg.forward_adaptive(
+        params, *args, config=config, policy=POLICY, force_loop=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.exit_layer), np.asarray(loop.exit_layer)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.lengths0), np.asarray(loop.lengths0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.lengths1), np.asarray(loop.lengths1)
+    )
+    for b_i in range(2):
+        l0 = int(fast.lengths0[b_i])
+        l1 = int(fast.lengths1[b_i])
+        assert l0 < N - 5 or l1 < N - 9, "nothing pruned; test is vacuous"
+        np.testing.assert_array_equal(
+            np.asarray(fast.index0[b_i, :l0]), np.asarray(loop.index0[b_i, :l0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fast.index1[b_i, :l1]), np.asarray(loop.index1[b_i, :l1])
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.scores[b_i, :l0, :l1]),
+            np.asarray(loop.scores[b_i, :l0, :l1]),
+            atol=1e-4,
+            rtol=1e-4,
+        )
+
+
+def test_inkernel_width_only_matches_loop(rng):
+    """width_confidence without depth_confidence also rides the kernel
+    (unreachable depth threshold, exit forced at the last layer)."""
+    n_layers = 3
+    config = LightGlueConfig(n_layers=n_layers, width_confidence=0.2)
+    params = _params(
+        n_layers,
+        token={
+            "w": np.zeros((n_layers - 1, 256, 1), np.float32),
+            "b": np.full((n_layers - 1, 1), 10.0, np.float32),
+        },
+    )
+    args = _inputs(rng)
+    fast = lg.forward_adaptive(params, *args, config=config, policy=POLICY)
+    loop = lg.forward_adaptive(
+        params, *args, config=config, policy=POLICY, force_loop=True
+    )
+    assert int(fast.exit_layer[0]) == n_layers
+    np.testing.assert_array_equal(
+        np.asarray(fast.lengths0), np.asarray(loop.lengths0)
+    )
+    l0, l1 = int(fast.lengths0[0]), int(fast.lengths1[0])
+    assert l0 < N - 5, "nothing pruned; test is vacuous"
+    np.testing.assert_array_equal(
+        np.asarray(fast.index0[0, :l0]), np.asarray(loop.index0[0, :l0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.scores[0, :l0, :l1]),
+        np.asarray(loop.scores[0, :l0, :l1]),
+        atol=1e-4,
+        rtol=1e-4,
+    )
