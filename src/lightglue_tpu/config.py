@@ -42,6 +42,15 @@ class LightGlueConfig:
     # device-side under lax control flow.
     depth_confidence: float = -1.0
     width_confidence: float = -1.0
+    # Bucket-ladder downshift for width pruning (-1 disables): after this
+    # many layers, pairs whose surviving keypoint count fits the half-size
+    # bucket are compacted and the REMAINING layers run on N/2-wide
+    # executables — a lax.cond between two static shapes inside one
+    # dispatch, so pruning buys real wall-clock (attention is quadratic in
+    # the bucket) without a host round trip. Exact: compaction reorders
+    # memory, masked-in-place == compacted, and the depth/width decisions
+    # use global layer indices in both phases.
+    downshift_layer: int = -1
 
     @property
     def head_dim(self) -> int:

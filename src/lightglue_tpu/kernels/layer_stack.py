@@ -124,20 +124,31 @@ def _layer_stack_kernel(
     depth_confidence: float = -1.0,
     width: bool = False,
     width_confidence: float = -1.0,
+    layer_offset: int = 0,
+    has_exited_in: bool = False,
 ):
+    # layer_offset > 0: this call runs layers [offset, offset+grid) of an
+    # n_layers-deep stack (the bucket-ladder downshift's second phase);
+    # thresholds/exit values use the GLOBAL layer index. has_exited_in: an
+    # extra SMEM (B,) flag marking pairs that already exited in a previous
+    # phase — they skip every layer and pass activations through.
+    base = 0
+    if has_exited_in:
+        exited_ref = rest[0]
+        base = 1
     if width:
-        tokb_ref, matchb_ref = rest[0], rest[1]
-        d0_ref, d1_ref, f0_ref, f1_ref = rest[2:6]
-        wrefs = rest[6:-9]
+        tokb_ref, matchb_ref = rest[base], rest[base + 1]
+        d0_ref, d1_ref, f0_ref, f1_ref = rest[base + 2 : base + 6]
+        wrefs = rest[base + 6 : -9]
         (
             tok_w_ref, match_w_ref,
             out0_ref, out1_ref, exit_ref, keep0_out, keep1_out,
             keep0_s, keep1_s,
         ) = rest[-9:]
     elif adaptive:
-        tokb_ref = rest[0]
-        d0_ref, d1_ref, f0_ref, f1_ref = rest[1:5]
-        wrefs = rest[5:-4]
+        tokb_ref = rest[base]
+        d0_ref, d1_ref, f0_ref, f1_ref = rest[base + 1 : base + 5]
+        wrefs = rest[base + 5 : -4]
         tok_w_ref = rest[-4]
         out0_ref, out1_ref, exit_ref = rest[-3:]
     else:
@@ -156,18 +167,35 @@ def _layer_stack_kernel(
         out1_ref[...] = d1_ref[...]
         if adaptive:
             # sentinel "not exited": any value > n_layers; the last layer
-            # forces a real exit so the sentinel never survives
-            exit_ref[...] = jnp.full(
-                exit_ref.shape, n_layers + 1.0, jnp.float32
-            )
+            # forces a real exit so the sentinel never survives a full-depth
+            # call (a phase-1 downshift call can return it — meaning "still
+            # running", resolved by the next phase)
+            if has_exited_in:
+                # pairs that exited in an earlier phase: 0.0 fails the live
+                # check at every l, so all layers skip and the activations
+                # pass through untouched
+                exit_ref[...] = jnp.where(
+                    exited_ref[t, 0] > 0,
+                    0.0,
+                    jnp.full(exit_ref.shape, n_layers + 1.0, jnp.float32),
+                )
+            else:
+                exit_ref[...] = jnp.full(
+                    exit_ref.shape, n_layers + 1.0, jnp.float32
+                )
         if width:
             # cumulative keep mask, initialized to the valid prefix; width
             # pruning (upstream get_pruning_mask) clears lanes as layers
-            # retire tokens — masking below keys off THIS, not lens
+            # retire tokens — masking below keys off THIS, not lens. The
+            # OUTPUT copy is also seeded here so a pair that never runs a
+            # layer (exited in a previous downshift phase) still reports
+            # its valid prefix instead of uninitialized memory.
             r0 = jax.lax.broadcasted_iota(jnp.int32, keep0_s.shape, 0)
             r1 = jax.lax.broadcasted_iota(jnp.int32, keep1_s.shape, 0)
             keep0_s[...] = jnp.where(r0 < lens_ref[t, 0], 1.0, 0.0)
             keep1_s[...] = jnp.where(r1 < lens_ref[t, 1], 1.0, 0.0)
+            keep0_out[...] = keep0_s[...][None]
+            keep1_out[...] = keep1_s[...][None]
 
     x0 = out0_ref[0]                    # (N0, E)
     x1 = out1_ref[0]                    # (N1, E)
@@ -453,7 +481,7 @@ def _layer_stack_kernel(
             # sigmoid materializes. tok_w lanes carry the single output
             # column REPLICATED 128x — the count divides by 128 (exact in
             # fp32) instead of lane-masking.
-            lf = l.astype(jnp.float32)
+            lf = (l + layer_offset).astype(jnp.float32)
             th = jnp.clip(
                 0.8 + 0.1 * jnp.exp(-4.0 * lf / float(n_layers)), 0.0, 1.0
             )
@@ -488,12 +516,16 @@ def _layer_stack_kernel(
                 jnp.sum(jnp.where((lgt0 >= thr) & valid0, 1.0, 0.0))
                 + jnp.sum(jnp.where((lgt1 >= thr) & valid1, 1.0, 0.0))
             ) * (1.0 / 128.0)
-            stop = (cnt / total > depth_confidence) | (l >= n_layers - 1)
+            stop = (cnt / total > depth_confidence) | (
+                l + layer_offset >= n_layers - 1
+            )
 
             @pl.when(stop)
             def _():
                 exit_ref[...] = jnp.full(
-                    exit_ref.shape, l.astype(jnp.float32) + 1.0, jnp.float32
+                    exit_ref.shape,
+                    (l + layer_offset).astype(jnp.float32) + 1.0,
+                    jnp.float32,
                 )
 
             if width:
@@ -756,6 +788,8 @@ def transformer_stack(
         "cross_transposed",
         "depth_confidence",
         "width_confidence",
+        "layer_offset",
+        "total_layers",
     ),
 )
 def transformer_stack_adaptive(
@@ -768,11 +802,14 @@ def transformer_stack_adaptive(
     lengths0: jax.Array,
     lengths1: jax.Array,
     match_params=None,
+    exited: Optional[jax.Array] = None,
     *,
     num_heads: int,
     head_dim: int,
     depth_confidence: float,
     width_confidence: float = -1.0,
+    layer_offset: int = 0,
+    total_layers: Optional[int] = None,
     scale: Optional[float] = None,
     stat_dtype=jnp.float32,
     attn_dtype=None,
@@ -818,7 +855,15 @@ def transformer_stack_adaptive(
         cross_transposed = _cross_transposed_default()
     b, n0, e = d0.shape
     n1 = d1.shape[1]
-    n_layers = layers_params["self_attn"]["ln_g"].shape[0]
+    # grid length = layers present in THIS call (a downshift phase passes a
+    # slice); total_layers = the logical stack depth for thresholds/forced
+    # exit at the true last layer
+    phase_layers = layers_params["self_attn"]["ln_g"].shape[0]
+    n_layers = (
+        int(total_layers)
+        if total_layers is not None
+        else layer_offset + phase_layers
+    )
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
     stat_dtype = jnp.dtype(stat_dtype)
@@ -830,21 +875,25 @@ def transformer_stack_adaptive(
     freqs0 = freqs0.astype(jnp.float32)
     freqs1 = freqs1.astype(jnp.float32)
 
-    # token head: pad the layer axis to L (the padded slot is never
-    # consulted — the last layer forces exit) and replicate the single
-    # output column across 128 lanes (see the kernel's count-by-128 trick)
-    tok_w = token_params["w"]                        # (L-1, E, 1)
-    tok_w = jnp.concatenate([tok_w, tok_w[-1:]], axis=0)
-    tok_w = jnp.broadcast_to(tok_w, (n_layers, e, 128)).astype(d0.dtype)
-    tok_b = token_params["b"].astype(jnp.float32)    # (L-1, 1)
-    tok_b = jnp.concatenate([tok_b, tok_b[-1:]], axis=0)
+    # token head: pad the layer axis (the padded slot is never consulted —
+    # the true last layer forces an exit) and replicate the single output
+    # column across 128 lanes (see the kernel's count-by-128 trick)
+    tok_w = token_params["w"]                        # (phase or L-1, E, 1)
+    if tok_w.shape[0] < phase_layers:
+        tok_w = jnp.concatenate([tok_w, tok_w[-1:]], axis=0)
+    tok_w = jnp.broadcast_to(tok_w, (phase_layers, e, 128)).astype(d0.dtype)
+    tok_b = token_params["b"].astype(jnp.float32)    # matches tok_w rows
+    if tok_b.shape[0] < phase_layers:
+        tok_b = jnp.concatenate([tok_b, tok_b[-1:]], axis=0)
 
     width = match_params is not None and width_confidence > 0
     if width:
         match_w = jnp.broadcast_to(
-            match_params["w"], (n_layers, e, 128)
+            match_params["w"], (phase_layers, e, 128)
         ).astype(d0.dtype)
-        match_b = match_params["b"].reshape(n_layers, 1).astype(jnp.float32)
+        match_b = match_params["b"].reshape(phase_layers, 1).astype(
+            jnp.float32
+        )
 
     quantized = "w_q" in layers_params["self_attn"]["qkv"]
     weight_args = tuple(_weight_args(layers_params, quantized))
@@ -872,6 +921,8 @@ def transformer_stack_adaptive(
         depth_confidence=float(depth_confidence),
         width=width,
         width_confidence=float(width_confidence),
+        layer_offset=int(layer_offset),
+        has_exited_in=exited is not None,
     )
 
     nsum = n0 + n1
@@ -893,14 +944,23 @@ def transformer_stack_adaptive(
         pl.BlockSpec(
             (b, 2), lambda t, l: (0, 0), memory_space=pltpu.SMEM
         ),
-        pl.BlockSpec(
-            (n_layers, 1), lambda t, l: (0, 0), memory_space=pltpu.SMEM
-        ),
     ]
+    if exited is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (b, 1), lambda t, l: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+    in_specs.append(
+        pl.BlockSpec(
+            (phase_layers, 1), lambda t, l: (0, 0), memory_space=pltpu.SMEM
+        )
+    )
     if width:
         in_specs.append(
             pl.BlockSpec(
-                (n_layers, 1), lambda t, l: (0, 0), memory_space=pltpu.SMEM
+                (phase_layers, 1), lambda t, l: (0, 0),
+                memory_space=pltpu.SMEM,
             )
         )
     in_specs += [
@@ -966,7 +1026,10 @@ def transformer_stack_adaptive(
             pltpu.VMEM((n1, 128), jnp.float32),
         ]
 
-    inputs = [lens, tok_b]
+    inputs = [lens]
+    if exited is not None:
+        inputs.append(exited.astype(jnp.int32).reshape(b, 1))
+    inputs.append(tok_b)
     if width:
         inputs.append(match_b)
     inputs += [d0, d1, freqs0, freqs1, *weight_args, tok_w]
@@ -975,7 +1038,7 @@ def transformer_stack_adaptive(
 
     outs = pl.pallas_call(
         kernel,
-        grid=(b, n_layers),
+        grid=(b, phase_layers),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

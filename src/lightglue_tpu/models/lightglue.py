@@ -822,6 +822,21 @@ def _forward_adaptive_impl(
         # unreachable, so only the last layer forces the exit
         dc = float(config.depth_confidence) if do_depth else 2.0
         if do_width:
+            ds = int(config.downshift_layer)
+            use_ds = (
+                0 < ds <= n_layers - 2
+                and m == n
+                and (m // 2) % 128 == 0
+                and layer_stack.supports(params["layers"], m // 2, m // 2,
+                                         act, None)
+            )
+            if use_ds:
+                return _adaptive_downshift(
+                    params, d0, d1, freqs0, freqs1, lengths0, lengths1,
+                    idx0, idx1, ds=ds, dc=dc, m=m, n=n,
+                    num_heads=num_heads, config=config, policy=policy,
+                    n_layers=n_layers,
+                )
             fd0, fd1, exit_layer, keepf0, keepf1 = (
                 layer_stack.transformer_stack_adaptive(
                     params["layers"],
@@ -1022,6 +1037,109 @@ def _forward_adaptive_impl(
         return new
 
     final = jax.lax.while_loop(cond, body, state)
+    return _adaptive_tail(params, final, m, n, config, n_layers)
+
+
+def _adaptive_downshift(
+    params, d0, d1, freqs0, freqs1, lengths0, lengths1, idx0, idx1,
+    *, ds, dc, m, n, num_heads, config, policy, n_layers,
+):
+    """Two-phase adaptive forward with a bucket-ladder downshift.
+
+    Phase 1 runs layers [0, ds) in the full-width adaptive megakernel
+    (in-kernel depth exit + width masks). The survivors are compacted, and
+    a ``lax.cond`` picks phase 2's executable: the HALF-width megakernel
+    when every pair's surviving count fits N/2, else the full-width one —
+    both inside the same dispatch, so pruning converts into real
+    wall-clock (attention is quadratic in the bucket) with no host round
+    trip. Exact vs the single-phase path: compaction only reorders memory
+    (attention is the only cross-token op) and both phases evaluate
+    depth/width decisions at GLOBAL layer indices; the while_loop oracle
+    (force_loop=True) remains the parity reference in tests.
+
+    Upstream semantics anchor: lightglue.py:87-99,300-301 (pruning) — the
+    downshift itself has no reference analog; the reference replays one
+    CUDA graph at max shape regardless of counts (BASELINE.md).
+    """
+    wc = float(config.width_confidence)
+    half = m // 2
+
+    def _slice_layers(lo, hi):
+        return jax.tree.map(lambda a: a[lo:hi], params["layers"])
+
+    tok_w, tok_b = params["token"]["w"], params["token"]["b"]
+    match_p = params["assign"]["match"]
+    common = dict(
+        num_heads=num_heads,
+        head_dim=config.head_dim,
+        depth_confidence=dc,
+        width_confidence=wc,
+        total_layers=n_layers,
+        stat_dtype=policy.attn_stat_dtype,
+        attn_dtype=policy.attn_in_dtype,
+    )
+
+    # ---- phase 1: layers [0, ds) at full width -------------------------
+    fd0, fd1, exit1, kf0, kf1 = layer_stack.transformer_stack_adaptive(
+        _slice_layers(0, ds),
+        {"w": tok_w[:ds], "b": tok_b[:ds]},
+        d0, d1, freqs0, freqs1, lengths0, lengths1,
+        {"w": match_p["w"][:ds], "b": match_p["b"][:ds]},
+        layer_offset=0,
+        **common,
+    )
+    keep0 = kf0[:, :, 0] > 0.5
+    keep1 = kf1[:, :, 0] > 0.5
+    nl0, _, (cd0, cf0, cidx0) = _compact(keep0, lengths0, fd0, freqs0, idx0)
+    nl1, _, (cd1, cf1, cidx1) = _compact(keep1, lengths1, fd1, freqs1, idx1)
+    # sentinel n_layers+1 = "still running after phase 1"
+    exited1 = exit1 <= n_layers
+    fits = jnp.all((nl0 <= half) & (nl1 <= half))
+
+    layers2 = _slice_layers(ds, n_layers)
+    tok2 = {"w": tok_w[ds:], "b": tok_b[ds:]}  # wrapper pads the last slot
+    match2 = {"w": match_p["w"][ds:], "b": match_p["b"][ds:]}
+
+    def _phase2(pd0, pd1, pf0, pf1):
+        return layer_stack.transformer_stack_adaptive(
+            layers2, tok2, pd0, pd1, pf0, pf1, nl0, nl1, match2,
+            exited1, layer_offset=ds, **common,
+        )
+
+    def _small(pd0, pd1, pf0, pf1):
+        o0, o1, e2, k0, k1 = _phase2(
+            pd0[:, :half], pd1[:, :half],
+            pf0[:, :, :half], pf1[:, :, :half],
+        )
+        pad = ((0, 0), (0, m - half), (0, 0))
+        return (
+            jnp.pad(o0, pad), jnp.pad(o1, pad), e2,
+            jnp.pad(k0, pad), jnp.pad(k1, pad),
+        )
+
+    def _full(pd0, pd1, pf0, pf1):
+        return _phase2(pd0, pd1, pf0, pf1)
+
+    o0, o1, exit2, k2f0, k2f1 = jax.lax.cond(
+        fits, _small, _full, cd0, cd1, cf0, cf1
+    )
+    # exited pairs passed through phase 2 with exit register 0
+    exit_layer = jnp.where(exited1, exit1, exit2)
+
+    # ---- tail: second compaction over phase-2 keeps --------------------
+    keep2_0 = k2f0[:, :, 0] > 0.5  # padded slots are 0 by construction
+    keep2_1 = k2f1[:, :, 0] > 0.5
+    fl0, _, (gd0, gidx0) = _compact(keep2_0, nl0, o0, cidx0)
+    fl1, _, (gd1, gidx1) = _compact(keep2_1, nl1, o1, cidx1)
+    final = dict(
+        d0=gd0,
+        d1=gd1,
+        len0=fl0,
+        len1=fl1,
+        idx0=gidx0,
+        idx1=gidx1,
+        exit_layer=exit_layer,
+    )
     return _adaptive_tail(params, final, m, n, config, n_layers)
 
 

@@ -305,3 +305,89 @@ def test_inkernel_width_only_matches_loop(rng):
         atol=1e-4,
         rtol=1e-4,
     )
+
+
+def test_downshift_matches_loop(rng):
+    """Bucket-ladder downshift (width survivors fit N/2 after layer ds →
+    remaining layers run at half width via lax.cond): must equal the
+    while_loop oracle exactly in exits/lengths/index maps and closely in
+    scores. N=256 so the half bucket 128 satisfies the megakernel's
+    128-multiple rule; aggressive width_confidence guarantees the small
+    branch is taken (asserted via surviving counts)."""
+    n_layers = 4
+    n = 256
+    config = LightGlueConfig(
+        n_layers=n_layers,
+        depth_confidence=0.95,
+        width_confidence=0.05,
+        downshift_layer=2,
+    )
+    trng = np.random.default_rng(3)
+    token = {
+        "w": (trng.standard_normal((n_layers - 1, 256, 1)) * 1.0).astype(
+            np.float32
+        ),
+        "b": np.zeros((n_layers - 1, 1), np.float32),
+    }
+    params = _params(n_layers, token=token)
+    args = _inputs(rng, b=2, n=n)
+    fast = lg.forward_adaptive(params, *args, config=config, policy=POLICY)
+    loop = lg.forward_adaptive(
+        params, *args, config=config, policy=POLICY, force_loop=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.exit_layer), np.asarray(loop.exit_layer)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.lengths0), np.asarray(loop.lengths0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.lengths1), np.asarray(loop.lengths1)
+    )
+    # the downshift must actually have fired: every pair fits n/2
+    assert int(np.max(np.asarray(fast.lengths0))) <= n // 2
+    assert int(np.max(np.asarray(fast.lengths1))) <= n // 2
+    assert int(np.min(np.asarray(fast.lengths0))) > 0
+    for b_i in range(2):
+        l0 = int(fast.lengths0[b_i])
+        l1 = int(fast.lengths1[b_i])
+        np.testing.assert_array_equal(
+            np.asarray(fast.index0[b_i, :l0]), np.asarray(loop.index0[b_i, :l0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.scores[b_i, :l0, :l1]),
+            np.asarray(loop.scores[b_i, :l0, :l1]),
+            atol=1e-4,
+            rtol=1e-4,
+        )
+
+
+def test_downshift_full_branch_when_no_pruning(rng):
+    """With an unprunable setup (everyone unconfident), the downshift cond
+    takes the full-width branch and the result equals the plain in-kernel
+    width path and the fixed-depth forward."""
+    n_layers = 3
+    n = 256
+    config = LightGlueConfig(
+        n_layers=n_layers, width_confidence=0.99, downshift_layer=1
+    )
+    token = {
+        "w": np.zeros((n_layers - 1, 256, 1), np.float32),
+        "b": np.full((n_layers - 1, 1), -10.0, np.float32),
+    }
+    params = _params(n_layers, token=token)
+    args = _inputs(rng, n=n)
+    out = lg.forward_adaptive(params, *args, config=config, policy=POLICY)
+    assert int(out.lengths0[0]) == n - 5  # nothing pruned -> full branch
+    plain = lg.forward_adaptive(
+        params,
+        *args,
+        config=LightGlueConfig(n_layers=n_layers, width_confidence=0.99),
+        policy=POLICY,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.index0), np.asarray(plain.index0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scores), np.asarray(plain.scores), atol=1e-5, rtol=1e-5
+    )
