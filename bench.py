@@ -198,9 +198,12 @@ def bench_superpoint(precision: Precision, h: int = 480, w: int = 640):
             def body(carry, _):
                 img = image + carry * 1e-30
                 scores, desc = superpoint.forward(
-                    params, img, config=config.superpoint, policy=policy
+                    params, img, config=config.superpoint, policy=policy,
+                    nms=False,
                 )
-                ext = extract_keypoints(scores, desc, config=config.superpoint)
+                ext = extract_keypoints(
+                    scores, desc, config=config.superpoint, raw_scores=True
+                )
                 # the carry must consume the extraction or XLA dead-code
                 # eliminates it (it did: the old scores-only carry measured
                 # forward-only, 1.27 ms vs the true 2.04 ms)
@@ -231,9 +234,12 @@ def bench_e2e(precision: Precision, h: int = 480, w: int = 640, n: int = 1024):
             def body(carry, _):
                 img = images + carry * 1e-30
                 scores, desc = superpoint.forward(
-                    sp_params, img, config=config.superpoint, policy=policy
+                    sp_params, img, config=config.superpoint, policy=policy,
+                    nms=False,
                 )
-                ext = extract_keypoints(scores, desc, config=config.superpoint)
+                ext = extract_keypoints(
+                    scores, desc, config=config.superpoint, raw_scores=True
+                )
                 out = lightglue.forward(
                     lg_params,
                     ext.keypoints_norm[0:1],

@@ -92,19 +92,27 @@ def forward(
     *,
     config: SuperPointConfig = SuperPointConfig(),
     policy: DTypePolicy,
+    nms: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dense forward pass.
 
     Args:
       params: pytree from ``runtime.weights`` (HWIO conv weights).
       image: (B, H, W, 1) grayscale in [0, 1]; H, W multiples of 8.
+      nms: apply iterative NMS to the score map. The extraction hot path
+        passes False and runs NMS inside the fused candidate kernel
+        (``kernels.nms.nms_candidates`` via ``extract_keypoints``'s
+        raw_scores path) so the dense map never round-trips HBM between
+        NMS and top-k.
 
     Returns:
-      scores: (B, H, W) NMS-suppressed detection score map (fp32).
+      scores: (B, H, W) detection score map (fp32), NMS'd when ``nms``.
       descriptors: (B, H/8, W/8, 256) L2-normalized dense descriptors (fp32).
     """
     with jax.default_matmul_precision(policy.matmul_precision):
-        return _forward_impl(params, image, config=config, policy=policy)
+        return _forward_impl(
+            params, image, config=config, policy=policy, nms=nms
+        )
 
 
 def forward_raw_descriptors(
@@ -140,7 +148,7 @@ def forward_raw_descriptors(
         return _conv(params["convDb"], cda).astype(jnp.float32)
 
 
-def _forward_impl(params, image, *, config, policy):
+def _forward_impl(params, image, *, config, policy, nms=True):
     x = image.astype(policy.act_dtype)
 
     # Shared encoder (reference superpoint.py:143-153). The C=64 layers
@@ -201,7 +209,8 @@ def _forward_impl(params, image, *, config, policy):
     b, h, w, _ = probs.shape
     scores = probs.reshape(b, h, w, 8, 8)
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
-    scores = simple_nms(scores, config.nms_radius)
+    if nms:
+        scores = simple_nms(scores, config.nms_radius)
 
     # Descriptor head (reference superpoint.py:171-173).
     cda = _relu_conv(params["convDa"], x)

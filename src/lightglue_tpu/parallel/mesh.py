@@ -337,8 +337,11 @@ def make_parallel_extract_fn(mesh: Mesh, config: PipelineConfig):
     @functools.partial(jax.jit, in_shardings=(None, image_sharding))
     def run(sp_params, images):
         scores, desc = superpoint.forward(
-            sp_params, images, config=config.superpoint, policy=policy
+            sp_params, images, config=config.superpoint, policy=policy,
+            nms=False,
         )
-        return extract_keypoints(scores, desc, config=config.superpoint)
+        return extract_keypoints(
+            scores, desc, config=config.superpoint, raw_scores=True
+        )
 
     return run

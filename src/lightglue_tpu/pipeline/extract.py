@@ -138,6 +138,31 @@ def _topk_nms_tiled(
     gx = tcol * tile + cand_a % tile
     cand_i = (gy * w + gx).reshape(b, th * tw * cap)
     cand_v = cand_v.reshape(b, th * tw * cap)
+    return _topk_candidates(cand_v, cand_i, k)
+
+
+def _topk_candidates(
+    cand_v: jax.Array, cand_i: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a candidate list, chunked two-stage.
+
+    Per-chunk top-k then a top-k over the chunks*k shortlist. Exact — any
+    global top-k element is within its chunk's top-k — and chip-measured
+    faster than the single sort over all candidates
+    (golden/chip_r04/topk_ab.out: 0.08-0.12 vs 0.15-0.16 ms at
+    19200 -> 1024). Tie ORDER at the k-th value can differ from the
+    single-stage form (positions permute through the chunk sort) — the
+    same implementation-undefined boundary the parity bar already
+    attributes (tests/test_fullscale_parity.py)."""
+    b, ncand = cand_v.shape
+    chunks = 4
+    if ncand % chunks == 0 and ncand // chunks >= k:
+        cv = cand_v.reshape(b * chunks, ncand // chunks)
+        ci = cand_i.reshape(b * chunks, ncand // chunks)
+        sv, ss = jax.lax.top_k(cv, k)
+        si = jnp.take_along_axis(ci, ss, axis=1)
+        cand_v = sv.reshape(b, chunks * k)
+        cand_i = si.reshape(b, chunks * k)
     top_v, sel = jax.lax.top_k(cand_v, k)
     top_i = jnp.take_along_axis(cand_i, sel, axis=1)
     return top_v, top_i
@@ -160,17 +185,21 @@ def extract_keypoints(
     *,
     config: SuperPointConfig = SuperPointConfig(),
     k: int | None = None,
+    raw_scores: bool = False,
 ) -> Extraction:
-    """Select top-k keypoints from a dense NMS'd score map, device-side.
+    """Select top-k keypoints from a dense score map, device-side.
 
     Args:
-      scores: (B, H, W) from ``models.superpoint.forward``.
+      scores: (B, H, W) from ``models.superpoint.forward`` — NMS'd by
+        default, or RAW (``forward(..., nms=False)``) with
+        ``raw_scores=True``, in which case NMS + border + tile-candidate
+        selection run fused in one Pallas kernel
+        (``kernels.nms.nms_candidates``) — the extraction hot path.
       desc_map: (B, H/8, W/8, C) dense descriptors from the same forward.
       k: fixed keypoint capacity (defaults to config.max_num_keypoints).
     """
     k = k or config.max_num_keypoints
     b, h, w = scores.shape
-    masked = mask_borders(scores.astype(jnp.float32), config.remove_borders)
 
     # NMS radius r leaves survivors pairwise > r apart, so a 4x4 tile with
     # cap=1 (single max, no suppress rounds) is also exact for r >= 3 — but
@@ -186,11 +215,29 @@ def extract_keypoints(
         and w % tile == 0
         and (h // tile) * (w // tile) * cap >= k
     )
-    if tiled_ok:
-        top_scores, top_idx = _topk_nms_tiled(masked, k, h, w, tile, cap)
+    if raw_scores and tiled_ok:
+        from lightglue_tpu.kernels.nms import nms_candidates
+
+        cand_v, cand_i = nms_candidates(
+            scores,
+            nms_radius=config.nms_radius,
+            border=config.remove_borders,
+            cap=cap,
+        )
+        top_scores, top_idx = _topk_candidates(cand_v, cand_i, k)
     else:
-        flat = masked.reshape(b, h * w)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # descending
+        if raw_scores:
+            from lightglue_tpu.kernels.nms import simple_nms
+
+            scores = simple_nms(scores, config.nms_radius)
+        masked = mask_borders(
+            scores.astype(jnp.float32), config.remove_borders
+        )
+        if tiled_ok:
+            top_scores, top_idx = _topk_nms_tiled(masked, k, h, w, tile, cap)
+        else:
+            flat = masked.reshape(b, h * w)
+            top_scores, top_idx = jax.lax.top_k(flat, k)  # descending
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
     kpts = jnp.stack([xs, ys], axis=-1)  # (x, y) column-first, like the

@@ -97,10 +97,15 @@ class MatcherSession:
 
             @jax.jit
             def run(sp_params, images):
+                # nms=False + raw_scores: NMS/border/tile-candidates run
+                # fused in one Pallas kernel (kernels/nms.nms_candidates)
                 scores, desc = superpoint.forward(
-                    sp_params, images, config=config.superpoint, policy=policy
+                    sp_params, images, config=config.superpoint,
+                    policy=policy, nms=False,
                 )
-                return extract_keypoints(scores, desc, config=config.superpoint)
+                return extract_keypoints(
+                    scores, desc, config=config.superpoint, raw_scores=True
+                )
 
             self._extract_cache[key] = run
         return self._extract_cache[key]

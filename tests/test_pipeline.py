@@ -181,3 +181,50 @@ def test_extract_tiled_path_used_and_correct(rng):
     assert int(ext.count[0]) == 4
     got = np.asarray(ext.keypoints[0, :4]).astype(int).tolist()
     assert got == [[x, y] for y, x, _ in peaks]
+
+
+def test_fused_extraction_matches_dense_path():
+    """extract_keypoints(raw_scores=True) — the fused NMS+border+candidates
+    Pallas kernel — must reproduce the dense path (simple_nms then tiled
+    top-k) exactly on valid slots: same counts, same keypoints, same scores,
+    same sampled descriptors. Invalid (sub-threshold) slots may reorder —
+    they are exact-duplicate zeros whose tie order is
+    implementation-undefined and which downstream masks out."""
+    import jax.numpy as jnp
+
+    from lightglue_tpu.config import SuperPointConfig
+    from lightglue_tpu.kernels.nms import simple_nms
+    from lightglue_tpu.models import superpoint
+    from lightglue_tpu.pipeline.extract import extract_keypoints
+    from lightglue_tpu.precision import Precision, policy_for
+    from lightglue_tpu.runtime import weights
+
+    config = SuperPointConfig(max_num_keypoints=256)
+    policy = policy_for(Precision.FP32)
+    params = weights.to_jax(weights.init_superpoint(3, config))
+    rng = np.random.default_rng(5)
+    image = jnp.asarray(rng.random((2, 64, 128, 1), dtype=np.float32))
+
+    raw, desc = superpoint.forward(
+        params, image, config=config, policy=policy, nms=False
+    )
+    dense = simple_nms(raw, config.nms_radius)
+    want = extract_keypoints(dense, desc, config=config)
+    got = extract_keypoints(raw, desc, config=config, raw_scores=True)
+
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(want.count))
+    for b in range(2):
+        n = int(want.count[b])
+        assert n > 10, "too few keypoints; test is vacuous"
+        np.testing.assert_array_equal(
+            np.asarray(got.keypoints[b, :n]), np.asarray(want.keypoints[b, :n])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores[b, :n]), np.asarray(want.scores[b, :n]),
+            rtol=0, atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.descriptors[b, :n]),
+            np.asarray(want.descriptors[b, :n]),
+            rtol=1e-6, atol=1e-6,
+        )
