@@ -99,6 +99,8 @@ def bench_lightglue(
     adaptive: bool = False,
     depth_only: bool = False,
     force_exit_layer: int | None = None,
+    force_prune: bool = False,
+    downshift: int = -1,
 ):
     """masked=False measures the unmasked executable — what the session
     dispatches for pairs that hit the 1024 extraction cap (the analog of the
@@ -113,10 +115,11 @@ def bench_lightglue(
     n1 = n if n1 is None else n1
     lg_config = LightGlueConfig(
         depth_confidence=0.95 if adaptive else -1.0,
-        # depth_only measures the in-kernel early-exit megakernel
-        # (transformer_stack_adaptive); width pruning forces the
-        # compaction-capable while_loop path
+        # depth-only and depth+width both ride the in-kernel adaptive
+        # megakernel (r4: width = cumulative keep mask in VMEM scratch);
+        # downshift adds the bucket-ladder two-phase split
         width_confidence=0.99 if (adaptive and not depth_only) else -1.0,
+        downshift_layer=downshift,
     )
     config = PipelineConfig(precision=precision, lightglue=lg_config)
     policy = policy_for(config.precision)
@@ -138,6 +141,27 @@ def bench_lightglue(
             raw["assign"],
             match=dict(raw["assign"]["match"], b=np.full_like(
                 np.asarray(raw["assign"]["match"]["b"]), 50.0
+            )),
+        )
+    if force_prune:
+        # the pruning-pays scenario: a wide-spread token head keeps the
+        # confident fraction under the 0.95 depth ratio (no early exit)
+        # while an unmatchable head (-50 bias) retires every confident
+        # token — steady per-layer pruning, so the downshift boundary
+        # crosses N/2 and the bucket-ladder second phase runs at half
+        # width. Random weights alone neither prune nor exit.
+        frng = np.random.default_rng(11)
+        tw = np.asarray(raw["token"]["w"])
+        raw = dict(raw)
+        raw["token"] = dict(
+            raw["token"],
+            w=(frng.standard_normal(tw.shape) * 1.0).astype(tw.dtype),
+            b=np.zeros_like(np.asarray(raw["token"]["b"])),
+        )
+        raw["assign"] = dict(
+            raw["assign"],
+            match=dict(raw["assign"]["match"], b=np.full_like(
+                np.asarray(raw["assign"]["match"]["b"]), -50.0
             )),
         )
     if policy.int8_weights:
@@ -375,6 +399,18 @@ def main():
             bench_lightglue(
                 Precision.BF16, adaptive=True, depth_only=True,
                 force_exit_layer=9,
+            )
+        )
+        # pruning-pays pair: heavy per-layer width pruning with NO early
+        # exit (all 9 layers run), without vs with the bucket-ladder
+        # downshift — the downshift runs layers 5-9 at half width once the
+        # survivor count crosses 512, converting pruning into wall-clock
+        extra["lightglue_bf16_adaptive_prune_1x1024_ms"] = bench_lightglue(
+            Precision.BF16, adaptive=True, force_prune=True
+        )
+        extra["lightglue_bf16_adaptive_prune_downshift_1x1024_ms"] = (
+            bench_lightglue(
+                Precision.BF16, adaptive=True, force_prune=True, downshift=4
             )
         )
         extra["lightglue_mixed_1x1024_ms"] = bench_lightglue(Precision.MIXED)

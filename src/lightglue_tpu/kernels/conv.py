@@ -275,6 +275,22 @@ def _pack_paired_weights(w) -> jax.Array:
     return wp
 
 
+def offset_prepad(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> the offset-paired padded layout (B, H+2, U', 2C).
+
+    Halo: 1 zero row top/bottom; 1 zero col left (shifts the pairing so
+    unit m = cols 2m-1, 2m) and right (covers SAME), then whole-unit zero
+    cols up to the DMA sublane alignment. Input units span cols -1..W,
+    i.e. units+1 of them; the kernel's two k-taps read units [0, units)
+    and [1, units+1). Exposed so a producer can fuse this into its own
+    epilogue (see conv3x3_paired's ``prepad_w``)."""
+    btch, h, w_dim, c = x.shape
+    units = w_dim // 2
+    upad = (-(units + 1)) % 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + 2 * upad), (0, 0)))
+    return xp.reshape(btch, h + 2, units + 1 + upad, 2 * c)
+
+
 def _pack_offset_weights(w) -> jax.Array:
     """(3, 3, C, C_out) HWIO -> (3, 2C, 4C_out) combined offset tap weights.
 
@@ -302,7 +318,7 @@ def _pack_offset_weights(w) -> jax.Array:
     jax.jit,
     static_argnames=(
         "relu", "pool", "x_paired", "out_paired", "out_dtype", "interpret",
-        "offset",
+        "offset", "prepad_w",
     ),
 )
 def conv3x3_paired(
@@ -317,6 +333,7 @@ def conv3x3_paired(
     out_dtype=None,
     interpret: bool | None = None,
     offset: bool = False,
+    prepad_w: int | None = None,
 ) -> jax.Array:
     """SAME 3x3 conv via paired-column (space-to-depth-2) matmuls.
 
@@ -335,15 +352,28 @@ def conv3x3_paired(
         compile in its concat form — retired; see docs/PERFORMANCE.md
         negative results). Requires unpaired ``x``; composes with
         pool/out_paired.
+      prepad_w: (offset only) ``x`` is ALREADY in the padded offset-paired
+        layout ``(B, H+2, W/2+1+upad, 2C)`` for an original width of
+        ``prepad_w`` — built by ``offset_prepad``. Lets the producer (the
+        conv1a tap stem) fuse the halo pad + lane repack into its own
+        epilogue, so the 39 MB full-resolution activation is materialized
+        once instead of three times (write + pad copy + repack).
     """
     assert not (pool and out_paired)
     assert not (offset and x_paired), "offset pairing needs the raw layout"
-    btch, h = x.shape[:2]
-    if x_paired:
+    assert prepad_w is None or offset, "prepad_w is an offset-form input"
+    btch = x.shape[0]
+    if prepad_w is not None:
+        h = x.shape[1] - 2
+        units = prepad_w // 2
+        c = x.shape[3] // 2
+    elif x_paired:
+        h = x.shape[1]
         units, c2 = x.shape[2], x.shape[3]
         c = c2 // 2
         xu = x
     else:
+        h = x.shape[1]
         w_dim, c = x.shape[2], x.shape[3]
         units = w_dim // 2
         if not offset:
@@ -354,14 +384,11 @@ def conv3x3_paired(
     interpret = _interpret() if interpret is None else interpret
     rows = _pick_rows(h)
     if offset:
-        # halo: 1 zero row top/bottom; 1 zero col left (shifts the pairing)
-        # and right (covers SAME), then whole-unit zero cols up to the DMA
-        # sublane alignment. Input units span cols -1..W, i.e. units+1 of
-        # them; the kernel's two k-taps read units [0, units) and
-        # [1, units+1).
-        upad = (-(units + 1)) % 8
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + 2 * upad), (0, 0)))
-        xp = xp.reshape(btch, h + 2, units + 1 + upad, 2 * c)
+        if prepad_w is not None:
+            assert x.shape[2] == units + 1 + (-(units + 1)) % 8
+            xp = x
+        else:
+            xp = offset_prepad(x)
         wp = _pack_offset_weights(w)
     else:
         # halo: 1 zero row top/bottom, 1 zero UNIT left/right (cols -2..-1

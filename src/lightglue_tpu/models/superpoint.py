@@ -165,21 +165,24 @@ def _forward_impl(params, image, *, config, policy, nms=True):
     if conv_kernel.supports_paired(
         h0, w0, 64, 64, x.dtype
     ) and conv_kernel.supports_paired(h0 // 2, w0 // 2, 64, 64, x.dtype):
-        # REQUIRED: without this barrier XLA sinks conv1a's 9-tap sum into
-        # the pallas-call pad boundary and materializes every tap broadcast
-        # separately at full resolution in fp32 — ~700 MB of layout copies,
-        # 2.6 ms instead of 0.75 for the stem (measured,
-        # scripts/bench_conv_ab.py chain)
-        x = jax.lax.optimization_barrier(x)
         # conv1b/conv2a consume unpaired maps, so they run the offset-paired
         # 75%-dense form (6 MXU passes/point vs 9 — chip A/B
         # golden/chip_r03/conv_offset_ab2.out: conv1b+pool 0.51 -> 0.34 ms);
         # conv2b consumes conv2a's paired output directly and stays on the
         # parity-block form — unpair+offset loses to the paired chain
-        # (golden/chip_r03/conv_chain2_ab.out).
+        # (golden/chip_r03/conv_chain2_ab.out). conv1b's halo pad + lane
+        # repack is fused INTO conv1a's epilogue (offset_prepad before the
+        # barrier): the 39 MB full-res activation materializes once, not
+        # three times. The barrier itself is still REQUIRED — without it
+        # XLA sinks conv1a's 9-tap sum into the pallas-call pad boundary
+        # and materializes every tap broadcast separately at full
+        # resolution in fp32 (~700 MB of layout copies, 2.6 ms instead of
+        # 0.75 for the stem; scripts/bench_conv_ab.py chain).
+        xpp = conv_kernel.offset_prepad(x)
+        xpp = jax.lax.optimization_barrier(xpp)
         x = conv_kernel.conv3x3_paired(
-            x, params["conv1b"]["w"], params["conv1b"]["b"], pool=True,
-            offset=True,
+            xpp, params["conv1b"]["w"], params["conv1b"]["b"], pool=True,
+            offset=True, prepad_w=w0,
         )
         x = conv_kernel.conv3x3_paired(
             x, params["conv2a"]["w"], params["conv2a"]["b"], out_paired=True,
