@@ -264,14 +264,21 @@ def bench_e2e(precision: Precision, h: int = 480, w: int = 640, n: int = 1024):
                 ext = extract_keypoints(
                     scores, desc, config=config.superpoint, raw_scores=True
                 )
+                # 480x640 frames saturate the 1024-kpt cap (demo console:
+                # every pair reports kpts 1024/1024), and the session
+                # dispatches cap-full pairs to the UNMASKED full-bucket
+                # executable (runtime/session.py:_match_fn full=True) —
+                # lengths None mirrors that real dispatch; partially
+                # filled buckets are covered by the masked/bucket-ladder
+                # metrics above
                 out = lightglue.forward(
                     lg_params,
                     ext.keypoints_norm[0:1],
                     ext.keypoints_norm[1:2],
                     ext.descriptors[0:1].astype(policy.act_dtype),
                     ext.descriptors[1:2].astype(policy.act_dtype),
-                    ext.count[0:1],
-                    ext.count[1:2],
+                    None,
+                    None,
                     config=config.lightglue,
                     policy=policy,
                 )

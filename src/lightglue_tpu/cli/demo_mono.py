@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--max_keypoints", type=int, default=1024)
     p.add_argument("--depth_confidence", type=float, default=-1.0)
     p.add_argument("--width_confidence", type=float, default=-1.0)
+    p.add_argument("--downshift_layer", type=int, default=-1,
+                   help="bucket-ladder downshift boundary for width pruning "
+                        "(LightGlueConfig.downshift_layer)")
     p.add_argument("--weights", default=None,
                    help=".npz checkpoint with {superpoint,lightglue} trees "
                         "(see runtime.weights); random init if omitted")
@@ -78,6 +81,7 @@ def main():
         lightglue=LightGlueConfig(
             depth_confidence=args.depth_confidence,
             width_confidence=args.width_confidence,
+            downshift_layer=args.downshift_layer,
         ),
         precision=Precision(args.precision),
         match_threshold=args.threshold,
