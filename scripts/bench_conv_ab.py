@@ -262,3 +262,42 @@ if len(_sys.argv) > 1 and _sys.argv[1] == "chain":
             t = timed(make(mode, tail), img)
             print(f"stem[{mode:15s}] tail={tail}: {t:7.3f} ms", flush=True)
     _sys.exit(0)
+
+
+def run_offset_lhs_ab(name, h, w, cin, cout, pool, dtype=jnp.bfloat16, reps=3):
+    """Interleaved A/B: offset fold via fp32 output shift-add (default) vs
+    per-k lhs window matmuls (offset_lhs) — same 6 MXU passes, different
+    data movement for the k=1 contribution."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32), dtype)
+    wts = jnp.asarray((rng.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    def make(lhs_form):
+        def make_fn(iters):
+            @jax.jit
+            def runit(x, wts, b):
+                def body(carry, _):
+                    xi = x + carry.astype(x.dtype) * 1e-30
+                    o = ck.conv3x3_paired(
+                        xi, wts, b, relu=True, pool=pool, offset=True,
+                        offset_lhs=lhs_form,
+                    )
+                    return o[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    for rep in range(reps):
+        ta = timed(make(False), x, wts, b)
+        tb = timed(make(True), x, wts, b)
+        print(
+            f"{name:12s} rep{rep}: shift-add {ta:7.3f} ms | lhs-window {tb:7.3f} ms",
+            flush=True,
+        )
+
+
+if len(_sys.argv) > 1 and _sys.argv[1] == "offset_lhs":
+    run_offset_lhs_ab("conv1b+pool", 480, 640, 64, 64, True)
+    run_offset_lhs_ab("conv2a", 240, 320, 64, 64, False)
+    _sys.exit(0)

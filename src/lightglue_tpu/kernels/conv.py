@@ -44,7 +44,7 @@ def _interpret() -> bool:
 
 def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
                  rows, w, cin, cout, relu, pool, out_dtype,
-                 lane_pool=False, offset=False):
+                 lane_pool=False, offset=False, offset_lhs=False):
     t = pl.program_id(0)
     s = pl.program_id(1)
     nstrips = pl.num_programs(1)
@@ -78,7 +78,26 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
         else jax.lax.Precision.DEFAULT
     )
     o = None
-    if offset:
+    if offset and offset_lhs:
+        # A/B variant: split the two k-taps into their own matmuls with
+        # sublane-offset lhs WINDOWS (xs[:, k:k+w]) instead of one combined
+        # [k0|k1] output + fp32 shifted add — trades the (rows, up, 256)
+        # fp32 accumulator relayout for two bf16 lhs window reads per tap.
+        # packed weights are (3, cin, 2*cout): k=0 cols [0, cout),
+        # k=1 cols [cout, 2*cout) (see _pack_offset_weights)
+        for di in range(3):
+            for k in (0, 1):
+                lhs = xs[di : di + rows, k : k + w].reshape(rows * w, cin)
+                d = jax.lax.dot_general(
+                    lhs,
+                    w_ref[di][:, k * cout : (k + 1) * cout],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+                o = d if o is None else o + d
+        o = o.reshape(rows, w, cout)
+    elif offset:
         # offset-paired input (unit m = cols 2m-1, 2m — the SAME-halo pad
         # column shifts the pairing by one relative to the output pairing):
         # output unit m's 6 real (C, C) tap blocks then fall 3+3 onto input
@@ -318,7 +337,7 @@ def _pack_offset_weights(w) -> jax.Array:
     jax.jit,
     static_argnames=(
         "relu", "pool", "x_paired", "out_paired", "out_dtype", "interpret",
-        "offset", "prepad_w",
+        "offset", "prepad_w", "offset_lhs",
     ),
 )
 def conv3x3_paired(
@@ -334,6 +353,7 @@ def conv3x3_paired(
     interpret: bool | None = None,
     offset: bool = False,
     prepad_w: int | None = None,
+    offset_lhs: bool = False,
 ) -> jax.Array:
     """SAME 3x3 conv via paired-column (space-to-depth-2) matmuls.
 
@@ -410,7 +430,7 @@ def conv3x3_paired(
     kernel = functools.partial(
         _conv_kernel, rows=rows, w=units, cin=2 * c, cout=2 * cout,
         relu=relu, pool=False, lane_pool=pool, out_dtype=out_dtype,
-        offset=offset,
+        offset=offset, offset_lhs=offset_lhs,
     )
     if offset:
         w_spec = pl.BlockSpec(
