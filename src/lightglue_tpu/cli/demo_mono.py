@@ -68,6 +68,11 @@ def main():
     from lightglue_tpu.runtime.session import MatcherSession
     from lightglue_tpu.utils.image import read_image
 
+    # the golden console must be self-documenting — the r2 artifact omitted
+    # its CLI args and the threshold became unreconstructable (random proxy
+    # weights put all match probabilities at ~1e-5, so the recorded 70+
+    # matches/pair imply a ~0 threshold nobody wrote down)
+    print("args: " + " ".join(f"{k}={v}" for k, v in sorted(vars(args).items())))
     frames = sorted(
         str(p)
         for p in Path(args.image_dir).iterdir()
