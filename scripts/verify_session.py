@@ -46,6 +46,13 @@ def synth(h, w, seed, shift=0):
 
 
 def main():
+    import subprocess
+    sha = subprocess.run(
+        ["git", "-C", str(Path(__file__).resolve().parent.parent),
+         "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    print(f"verify_session @ {sha}", flush=True)
     # match_threshold 0: random weights give near-uniform assignment
     # probabilities (max exp(score) ~ 1/K^2) so any positive threshold
     # empties the match set at K=1024 — same rationale as
