@@ -341,6 +341,12 @@ class MatcherSession:
         mixed-bucket combinations are rare, lazily compiled on first
         dispatch, and persistently cached (runtime/aot.py). Pass "all" for
         the full product.
+
+        The LARGEST bucket also warms its full=True (unmasked) variant:
+        that is the dispatch for cap-full pairs — the common case on
+        texture-rich frames — and leaving it lazy cost the demo's first
+        pair a ~50 s compile through the relay
+        (golden/demo_mono_r4_console.txt pair 0).
         """
         h, w = image_hw
         dummy = np.zeros((batch, h, w, 1), np.float32)
@@ -353,8 +359,13 @@ class MatcherSession:
                 for b0 in self.config.buckets
                 for b1 in self.config.buckets
             ]
-        for b0, b1 in pairs:
-            fn = self._match_fn(b0, b1)
+        pairs = list(pairs)
+        cap = max(self.config.buckets)
+        variants = [(b0, b1, False) for b0, b1 in pairs]
+        if (cap, cap) in pairs:
+            variants.append((cap, cap, True))
+        for b0, b1, full in variants:
+            fn = self._match_fn(b0, b1, full=full)
             fn(
                 self.lg_params,
                 jnp.zeros((batch, b0, 2), jnp.float32),
