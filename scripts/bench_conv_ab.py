@@ -301,3 +301,51 @@ if len(_sys.argv) > 1 and _sys.argv[1] == "offset_lhs":
     run_offset_lhs_ab("conv1b+pool", 480, 640, 64, 64, True)
     run_offset_lhs_ab("conv2a", 240, 320, 64, 64, False)
     _sys.exit(0)
+
+
+def run_chain2_fused_ab(h=240, w=320, c=64, dtype=jnp.bfloat16, reps=3):
+    """Fused conv2a+conv2b+pool single pallas_call vs the two-call chain
+    (intermediate round-trips HBM). Exact same math (CPU-verified 0.0)."""
+    from lightglue_tpu.kernels.conv_chain import conv2_chain
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32), dtype)
+    wa = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32))
+    ba = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    wb = jnp.asarray((rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    def make(fused):
+        def chain(xi):
+            if fused:
+                return conv2_chain(xi, wa, ba, wb, bb)
+            m = ck.conv3x3_paired(xi, wa, ba, offset=True, out_paired=True)
+            return ck.conv3x3_paired(m, wb, bb, x_paired=True, pool=True)
+
+        def make_fn(iters):
+            @jax.jit
+            def runit(x):
+                def body(carry, _):
+                    xi = x + carry.astype(x.dtype) * 1e-30
+                    o = chain(xi)
+                    return o[0, 0, 0, 0].astype(jnp.float32), ()
+                return jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return runit
+        return make_fn
+
+    # correctness on chip first
+    a = np.asarray(make(False)(1)(x)[0])
+    b = np.asarray(make(True)(1)(x)[0])
+    print(f"chip parity: {abs(float(a) - float(b)):.2e}", flush=True)
+    for rep in range(reps):
+        t2 = timed(make(False), x)
+        t1 = timed(make(True), x)
+        print(
+            f"conv2 chain  rep{rep}: two-call {t2:7.3f} ms | fused {t1:7.3f} ms",
+            flush=True,
+        )
+
+
+if len(_sys.argv) > 1 and _sys.argv[1] == "chain2_fused":
+    run_chain2_fused_ab()
+    _sys.exit(0)

@@ -250,3 +250,28 @@ def test_conv3x3_paired_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got_oc), np.asarray(want_c), rtol=1e-5, atol=1e-5
     )
+
+
+def test_conv2_chain_matches_two_call_chain():
+    """Fused conv2a+conv2b+pool kernel == the two-pallas_call chain
+    exactly (same packings, same fold/bias/pool order), including batch
+    and edge-strip row-halo zeroing."""
+    from lightglue_tpu.kernels import conv as conv_kernel
+    from lightglue_tpu.kernels.conv_chain import conv2_chain
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 64)).astype(np.float32))
+    wa = jnp.asarray(
+        (rng.standard_normal((3, 3, 64, 64)) * 0.1).astype(np.float32)
+    )
+    ba = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    wb = jnp.asarray(
+        (rng.standard_normal((3, 3, 64, 64)) * 0.1).astype(np.float32)
+    )
+    bb = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    mid = conv_kernel.conv3x3_paired(x, wa, ba, offset=True, out_paired=True)
+    want = conv_kernel.conv3x3_paired(mid, wb, bb, x_paired=True, pool=True)
+    got = conv2_chain(x, wa, ba, wb, bb)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
