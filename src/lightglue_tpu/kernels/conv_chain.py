@@ -21,7 +21,11 @@ conv.conv3x3_paired(offset=True, out_paired=True) chained into
 conv3x3_paired(x_paired=True, pool=True) exactly (reference semantics:
 superpoint.py:146-149).
 
-Flag-gated (LGTPU_CONV_CHAIN2) pending the chip A/B.
+Chip A/B verdict (golden/chip_r04/chain2_fused_ab.out): LOSES ~10% —
+the intermediate's HBM round trip is already hidden behind the
+double-buffered strip DMA, and the zero-framed halo scratch store +
+2-row recompute overlap cost more than it saves. NOT integrated; kept
+as a bit-exact tested variant (tests/test_superpoint.py).
 """
 
 from __future__ import annotations
