@@ -215,7 +215,14 @@ def extract_keypoints(
         and w % tile == 0
         and (h // tile) * (w // tile) * cap >= k
     )
-    if raw_scores and tiled_ok:
+    # the fused kernel's output blocks put W on the lane dim; widths that
+    # are not a multiple of 128 are untested against Mosaic's whole-dim
+    # padding on real hardware — hedge to the dense path there (interpret
+    # mode handles any W)
+    fused_ok = tiled_ok and (
+        w % 128 == 0 or jax.default_backend() != "tpu"
+    )
+    if raw_scores and fused_ok:
         from lightglue_tpu.kernels.nms import nms_candidates
 
         cand_v, cand_i = nms_candidates(

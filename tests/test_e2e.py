@@ -206,3 +206,25 @@ def test_full_bucket_unmasked_dispatch_equals_masked(pipelines):
         np.asarray(mat_f.indices), np.asarray(mat_m.indices)
     )
     assert int(mat_f.count[0]) == int(mat_m.count[0])
+
+
+def test_warmup_covers_cap_full_variant():
+    """session.warmup must precompile the largest bucket's full=True
+    (unmasked) executable — cap-full pairs dispatch it, and leaving it
+    lazy cost the r4 golden demo's first pair a ~50 s relay compile."""
+    from lightglue_tpu.config import PipelineConfig, SuperPointConfig
+    from lightglue_tpu.precision import Precision
+    from lightglue_tpu.runtime.session import MatcherSession
+
+    config = PipelineConfig(
+        superpoint=SuperPointConfig(max_num_keypoints=128),
+        precision=Precision.FP32,
+        buckets=(128,),
+        max_matches=128,
+    )
+    session = MatcherSession(config=config)
+    session.warmup((48, 64))
+    assert (128, 128, True) in session._match_cache, (
+        "cap-full unmasked variant not warmed"
+    )
+    assert (128, 128, False) in session._match_cache
