@@ -52,7 +52,7 @@ BASELINE_LG_FP16_MS = 41.08  # trt_engine_files/...with_plugin.fp16...txt:30443
 BASELINE_SP_FP32_MS = 26.50  # trt_engine_files/superpoint...fp32...txt:5771
 ITERS_LO = 25
 ITERS_HI = 125
-REPEATS = 3
+REPEATS = 5
 
 
 def _run_once(fn, args):
@@ -70,9 +70,13 @@ def _timed(make_fn, *args):
     are interleaved so slow drift of the relay hits both points of a rep
     equally (the r3 A/B methodology, golden/chip_r03/
     cross_transposed_definitive.txt, promoted into the bench). Returns
-    {p50, min, spread_pct}: relay variance is real (5-10% run to run; an 18%
-    same-round swing on SuperPoint in r3), so a delta between two runs is
-    only interpretable against the spread — single numbers are not."""
+    {p50, min, spread_pct, reps}: p50 = median of REPEATS (5) estimates;
+    spread_pct is computed on the TRIMMED set (min and max rep dropped), so
+    one relay hiccup cannot blow the stat up — r4's bench2.out recorded
+    spread_pct 1421.5 from a single bad rep over 3, making the column
+    uninterpretable exactly when needed (VERDICT r4 weak #4 / next #7). Raw
+    reps are kept in the artifact for audit; a row where even the trimmed
+    spread exceeds 25% is flagged outlier_contaminated rather than trusted."""
     fn_lo, fn_hi = make_fn(ITERS_LO), make_fn(ITERS_HI)
     _run_once(fn_lo, args)  # compile + warmup both cache entries
     _run_once(fn_hi, args)
@@ -82,11 +86,17 @@ def _timed(make_fn, *args):
         t_hi = _run_once(fn_hi, args)
         est.append(max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO) * 1e3)
     p50 = float(np.median(est))
-    return {
+    trimmed = sorted(est)[1:-1] if len(est) >= 3 else sorted(est)
+    spread = (max(trimmed) - min(trimmed)) / p50 * 100.0
+    out = {
         "p50": round(p50, 3),
         "min": round(min(est), 3),
-        "spread_pct": round((max(est) - min(est)) / p50 * 100.0, 1),
+        "spread_pct": round(spread, 1),
+        "reps": [round(e, 3) for e in est],
     }
+    if spread > 25.0:
+        out["outlier_contaminated"] = True
+    return out
 
 
 def bench_lightglue(
@@ -317,9 +327,15 @@ def _device_reachable(timeout_s: float = 120.0) -> bool:
 
 
 def _await_device() -> bool:
-    """Retry the reachability probe until LGTPU_BENCH_WAIT_S (default 600 s)
-    expires. Returns True as soon as a probe succeeds."""
-    deadline = float(os.environ.get("LGTPU_BENCH_WAIT_S", "600"))
+    """Retry the reachability probe until LGTPU_BENCH_WAIT_S (default 3600 s)
+    expires. Returns True as soon as a probe succeeds.
+
+    The default IS the driver's outage budget (the driver runs `python
+    bench.py` bare): r4's 600 s default lost the round's official perf
+    record to a relay outage that the repo-side recovery queue outlasted
+    (BENCH_r04.json value null vs golden/chip_r04/bench.out committed hours
+    later). One hour matches the longest observed recovery gaps."""
+    deadline = float(os.environ.get("LGTPU_BENCH_WAIT_S", "3600"))
     t0 = time.time()
     while True:
         if _device_reachable():
@@ -327,6 +343,52 @@ def _await_device() -> bool:
         if time.time() - t0 >= deadline:
             return False
         time.sleep(min(30.0, max(1.0, deadline - (time.time() - t0))))
+
+
+def _last_committed_chip() -> dict:
+    """Provenance block for the outage error line: the newest committed
+    chip-side bench artifact (golden/chip_r*/bench*.out), its git SHA and
+    age, and the headline numbers parsed out of it — so even an outage
+    round carries the last-good driver-grade record instead of nothing
+    (VERDICT r4 next #1c)."""
+    root = Path(__file__).resolve().parent
+    cands = sorted(root.glob("golden/chip_r*/bench*.out"))
+    best: dict = {}
+    for p in reversed(cands):
+        try:
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    rec = json.loads(line)
+                    if rec.get("value") is None:
+                        continue
+                    rel = str(p.relative_to(root))
+                    sha = subprocess.run(
+                        ["git", "log", "-1", "--format=%H %cI", "--", rel],
+                        cwd=root, capture_output=True, text=True, timeout=30,
+                    ).stdout.strip()
+                    best = {
+                        "source": rel,
+                        "git": sha,
+                        "age_days": round(
+                            (time.time() - p.stat().st_mtime) / 86400.0, 1
+                        ),
+                        "value_ms": rec["value"],
+                        "vs_baseline": rec.get("vs_baseline"),
+                        "e2e_pair_ms": (rec.get("extra", {})
+                                        .get("e2e_pair_bf16_ms", {})
+                                        .get("p50")),
+                        "superpoint_extract_ms": (
+                            rec.get("extra", {})
+                            .get("superpoint_bf16_480x640_extract_ms", {})
+                            .get("p50")),
+                    }
+                    break
+        except Exception:
+            continue
+        if best:
+            break
+    return best
 
 
 def main():
@@ -345,7 +407,11 @@ def main():
                         "error": (
                             "device unreachable: relay probe subprocess "
                             "failed/hung past LGTPU_BENCH_WAIT_S"
-                        )
+                        ),
+                        "waited_s": float(
+                            os.environ.get("LGTPU_BENCH_WAIT_S", "3600")
+                        ),
+                        "last_committed_chip": _last_committed_chip(),
                     },
                 }
             )
