@@ -135,9 +135,11 @@ def _nms_cand_kernel(x_ref, v_ref, i_ref, *, h, w, radius, border, cap,
     # Each round: per-column max/argmax (8-compare chain), segment-of-8
     # lane max via roll trees (anchor = lane 8t), candidate index via a
     # segment MIN of the selected lanes' global flat indices (deterministic
-    # r-major-ish tie-break; ties only matter for exact duplicates — the
-    # suppressed zeros — whose slots are below the detection threshold and
-    # discarded downstream). Round r lands in lane 8t+r of the outputs, so
+    # tie-break). Each round suppresses ONLY the element it emitted (the
+    # segment-min index, broadcast back over the group) — not every column
+    # tied at the tile max — so exact-score ties (symmetric/synthetic
+    # images) survive to later rounds exactly as in the dense
+    # _topk_nms_tiled path. Round r lands in lane 8t+r of the outputs, so
     # the XLA side reshapes (TH, TW, 8)[..., :cap] with zero relayout cost.
     th = h // 8
     v = sc.reshape(th, 8, w)
@@ -177,7 +179,15 @@ def _nms_cand_kernel(x_ref, v_ref, i_ref, *, h, w, radius, border, cap,
         out_v = jnp.where(slot, av, out_v)
         out_i = jnp.where(slot, ai, out_i)
         if r + 1 < cap:
-            hit = (intra == colarg[:, None, :]) & sel[:, None, :]
+            # suppress only the emitted element: broadcast the segment-min
+            # emitted index back over the group (same tree as bge) and hit
+            # the single column whose per-column argmax index equals it
+            bmi = jnp.where(anchor, mi, BIGI)
+            for s in (1, 2, 4):
+                bmi = jnp.minimum(
+                    bmi, jnp.where(lane >= s, roll(bmi, s, 1), BIGI)
+                )
+            hit = (intra == colarg[:, None, :]) & (cidx == bmi)[:, None, :]
             v = jnp.where(hit, NEG, v)
     v_ref[...] = out_v[None]
     i_ref[...] = out_i[None]

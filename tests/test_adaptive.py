@@ -391,3 +391,49 @@ def test_downshift_full_branch_when_no_pruning(rng):
     np.testing.assert_allclose(
         np.asarray(out.scores), np.asarray(plain.scores), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("precision", [Precision.FP32, Precision.BF16])
+def test_one_image_fully_retired_stays_finite(rng, precision):
+    """ADVICE r4 (layer_stack.py): width pruning can retire EVERY token of
+    one image while the other stays live (here: image-1 descriptors have a
+    huge projection onto the token-confidence head so all of image 1 is
+    confident; a -50 matchability bias makes everything unmatchable; image
+    0 stays unconfident hence kept; width-only so no depth exit). The keep
+    mask for image 1 goes all-zero, so image 0's cross-attention rows are
+    FULLY masked — the sentinel max then equals -1e30, and under the bf16
+    requantized-stat rung exp(s - quant(m)) overflows to inf, poisoning the
+    surviving image's activations and the final scores with NaN. The guard
+    must zero those probabilities so empty attention returns 0."""
+    n_layers = 4
+    config = LightGlueConfig(n_layers=n_layers, width_confidence=0.2)
+    base = weights.init_lightglue(0, LightGlueConfig(n_layers=n_layers))
+    tdir = np.zeros((256, 1), np.float32)
+    tdir[0, 0] = 1.0
+    base["token"] = {
+        "w": np.tile(tdir[None], (n_layers - 1, 1, 1)),
+        "b": np.zeros((n_layers - 1, 1), np.float32),
+    }
+    base["assign"] = dict(
+        base["assign"],
+        match=dict(
+            base["assign"]["match"],
+            w=np.zeros_like(np.asarray(base["assign"]["match"]["w"])),
+            b=np.full_like(np.asarray(base["assign"]["match"]["b"]), -50.0),
+        ),
+    )
+    policy = policy_for(precision)
+    params = weights.to_jax(base, policy.param_dtype)
+    k0, k1, d0, d1, l0, l1 = _inputs(rng)
+    # image 1: +1000 along the confidence direction -> always confident;
+    # image 0: zero-mean noise -> logits ~ N(0, 1) < thr -> never confident
+    d1 = d1.at[..., 0].set(1000.0)
+    d0 = d0.at[..., 0].set(0.0)
+    args = (k0, k1, d0.astype(policy.act_dtype),
+            d1.astype(policy.act_dtype), l0, l1)
+    out = lg.forward_adaptive(params, *args, config=config, policy=policy)
+    assert int(out.lengths1[0]) == 0, "image 1 not fully retired; vacuous"
+    assert int(out.lengths0[0]) > 0, "image 0 must survive"
+    assert int(out.exit_layer[0]) == n_layers
+    for leaf in (out.scores, out.index0, out.index1):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()

@@ -228,3 +228,47 @@ def test_fused_extraction_matches_dense_path():
             np.asarray(want.descriptors[b, :n]),
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_fused_extraction_keeps_exact_score_ties():
+    """ADVICE r4 (kernels/nms.py): two above-threshold keypoints in the SAME
+    8x8 tile with bitwise-equal fp32 scores must BOTH survive the fused
+    candidate kernel, as they do in the dense path — a round suppresses only
+    the element it emitted, not every column tied at the tile max."""
+    import jax.numpy as jnp
+
+    from lightglue_tpu.kernels.nms import nms_candidates
+    from lightglue_tpu.pipeline.extract import (
+        _topk_nms_tiled, mask_borders
+    )
+    from lightglue_tpu.kernels.nms import simple_nms
+
+    h, w = 24, 256
+    scores = np.zeros((1, h, w), np.float32)
+    # same 8x8 tile (rows 8-15, cols 128-135), Chebyshev distance 5 > 4 so
+    # neither NMS-suppresses the other; identical fp32 score
+    scores[0, 10, 130] = 0.75
+    scores[0, 10, 135] = 0.75
+    # a tile with THREE ties (needs two surviving rounds after the first)
+    scores[0, 10, 64] = 0.5
+    scores[0, 10, 69] = 0.5
+    scores[0, 15, 66] = 0.5
+    sj = jnp.asarray(scores)
+
+    cand_v, cand_i = nms_candidates(sj, nms_radius=4, border=4, cap=4)
+    dense = mask_borders(simple_nms(sj, 4), 4)
+    dv, di = _topk_nms_tiled(dense, 8, h, w)
+
+    thr = 0.1
+    got = {
+        int(i) for v, i in zip(np.asarray(cand_v[0]), np.asarray(cand_i[0]))
+        if v > thr
+    }
+    want = {
+        int(i) for v, i in zip(np.asarray(dv[0]), np.asarray(di[0]))
+        if v > thr
+    }
+    assert want == {
+        10 * w + 130, 10 * w + 135, 10 * w + 64, 10 * w + 69, 15 * w + 66
+    }
+    assert got == want
