@@ -139,12 +139,12 @@ def _layer_stack_kernel(
     if width:
         tokb_ref, matchb_ref = rest[base], rest[base + 1]
         d0_ref, d1_ref, f0_ref, f1_ref = rest[base + 2 : base + 6]
-        wrefs = rest[base + 6 : -9]
+        wrefs = rest[base + 6 : -11]
         (
             tok_w_ref, match_w_ref,
             out0_ref, out1_ref, exit_ref, keep0_out, keep1_out,
-            keep0_s, keep1_s,
-        ) = rest[-9:]
+            keep0_s, keep1_s, krow0_s, krow1_s,
+        ) = rest[-11:]
     elif adaptive:
         tokb_ref = rest[base]
         d0_ref, d1_ref, f0_ref, f1_ref = rest[base + 1 : base + 5]
@@ -196,6 +196,14 @@ def _layer_stack_kernel(
             keep1_s[...] = jnp.where(r1 < lens_ref[t, 1], 1.0, 0.0)
             keep0_out[...] = keep0_s[...][None]
             keep1_out[...] = keep1_s[...][None]
+            # lane-oriented keep row for S-column masking, maintained in
+            # scratch and refreshed ONLY when pruning actually retires a
+            # token (see the decision block) — the per-layer (N, N) iota
+            # identity + transpose matmul it replaces was pure adaptive tax
+            c0 = jax.lax.broadcasted_iota(jnp.int32, krow0_s.shape, 1)
+            c1 = jax.lax.broadcasted_iota(jnp.int32, krow1_s.shape, 1)
+            krow0_s[...] = jnp.where(c0 < lens_ref[t, 0], 1.0, 0.0)
+            krow1_s[...] = jnp.where(c1 < lens_ref[t, 1], 1.0, 0.0)
 
     x0 = out0_ref[0]                    # (N0, E)
     x1 = out1_ref[0]                    # (N1, E)
@@ -290,25 +298,15 @@ def _layer_stack_kernel(
         if width:
             # keep-mask views in both orientations. The scratch is sublane-
             # oriented (N, 128); S-matrix column masking needs a LANE vector
-            # (1, N), obtained by an identity matmul on the MXU — Mosaic has
-            # no cheap cross-layout vector transpose (CLAUDE.md lane-offset
-            # notes), but a (N,1)x(N,N) contraction is ~1M MACs, noise here.
-            idn0 = (
-                jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 1)
-            ).astype(attn_dtype)
-            idn1 = (
-                jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 1)
-            ).astype(attn_dtype)
+            # (1, N) — maintained in the krow scratch (seeded from lens at
+            # l == 0, refreshed by identity matmul only on steps where
+            # pruning retires a token), instead of the per-layer (N, N)
+            # iota identity + transpose matmul the r4 kernel paid
+            # unconditionally (VERDICT r4 next #5).
             kcol0 = keep0_s[:, 0:1]  # (N0, 1) f32 0/1
             kcol1 = keep1_s[:, 0:1]
-            krow0 = _dot(
-                kcol0.astype(attn_dtype), idn0, contract=((0,), (0,))
-            )  # (1, N0) f32 0/1
-            krow1 = _dot(
-                kcol1.astype(attn_dtype), idn1, contract=((0,), (0,))
-            )
+            krow0 = krow0_s[0:1, :]  # (1, N0) f32 0/1
+            krow1 = krow1_s[0:1, :]
             krows = (krow0, krow1)
             kouts = (
                 keep0_s[:, 0:head_dim],
@@ -507,90 +505,174 @@ def _layer_stack_kernel(
             # sigmoid materializes. tok_w lanes carry the single output
             # column REPLICATED 128x — the count divides by 128 (exact in
             # fp32) instead of lane-masking.
+            #
+            # r5 full-depth-tax cuts (VERDICT r4 next #5): the forced-stop
+            # LAST layer only writes the exit register — no confidence or
+            # matchability matvecs (they were unconditional); the depth
+            # machinery (count/threshold/stop) is compiled out entirely in
+            # width-only mode (depth_confidence is the unreachable >= 1
+            # sentinel); keep-mask scratch, keep outputs and the lane-
+            # oriented krow refresh are written only on steps where pruning
+            # actually retires a kept token.
             lf = (l + layer_offset).astype(jnp.float32)
-            th = jnp.clip(
-                0.8 + 0.1 * jnp.exp(-4.0 * lf / float(n_layers)), 0.0, 1.0
-            )
-            # th <= 0.9 so log(1 - th) is well-conditioned (no log1p in
-            # Mosaic)
-            thr = jnp.log(th) - jnp.log(1.0 - th) - tokb_ref[l, 0]
-            tok_w = tok_w_ref[0].astype(attn_dtype)  # (E, 128) replicated
-            lgt0 = _dot(x0.astype(attn_dtype), tok_w)  # (N0, 128) fp32
-            lgt1 = _dot(x1.astype(attn_dtype), tok_w)
-            rows0 = jax.lax.broadcasted_iota(jnp.int32, (n0, 128), 0)
-            rows1 = jax.lax.broadcasted_iota(jnp.int32, (n1, 128), 0)
-            if width:
-                # pruned tokens neither count as confident nor toward the
-                # total — mirrors the while_loop path where compaction
-                # shrinks the true lengths before the next decision
-                valid0 = keep0_s[...] >= 0.5
-                valid1 = keep1_s[...] >= 0.5
-                total = jnp.maximum(
-                    (jnp.sum(keep0_s[...]) + jnp.sum(keep1_s[...]))
-                    * (1.0 / 128.0),
+            is_last = (l + layer_offset) == (n_layers - 1)
+            depth_on = depth_confidence < 1.0
+
+            @pl.when(jnp.logical_not(is_last))
+            def _decide():
+                th = jnp.clip(
+                    0.8 + 0.1 * jnp.exp(-4.0 * lf / float(n_layers)),
+                    0.0,
                     1.0,
                 )
-            elif masked:
-                valid0 = rows0 < lens[0]
-                valid1 = rows1 < lens[1]
-                total = jnp.maximum((lens[0] + lens[1]).astype(jnp.float32), 1.0)
-            else:
-                valid0 = rows0 >= 0
-                valid1 = rows1 >= 0
-                total = jnp.float32(n0 + n1)
-            cnt = (
-                jnp.sum(jnp.where((lgt0 >= thr) & valid0, 1.0, 0.0))
-                + jnp.sum(jnp.where((lgt1 >= thr) & valid1, 1.0, 0.0))
-            ) * (1.0 / 128.0)
-            stop = (cnt / total > depth_confidence) | (
-                l + layer_offset >= n_layers - 1
-            )
+                # th <= 0.9 so log(1 - th) is well-conditioned (no log1p
+                # in Mosaic)
+                thr = jnp.log(th) - jnp.log(1.0 - th) - tokb_ref[l, 0]
+                tok_w = tok_w_ref[0].astype(attn_dtype)  # (E, 128) replic.
+                lgt0 = _dot(x0.astype(attn_dtype), tok_w)  # (N0, 128) fp32
+                lgt1 = _dot(x1.astype(attn_dtype), tok_w)
+                if depth_on:
+                    rows0 = jax.lax.broadcasted_iota(
+                        jnp.int32, (n0, 128), 0
+                    )
+                    rows1 = jax.lax.broadcasted_iota(
+                        jnp.int32, (n1, 128), 0
+                    )
+                    if width:
+                        # pruned tokens neither count as confident nor
+                        # toward the total — mirrors the while_loop path
+                        # where compaction shrinks the true lengths before
+                        # the next decision
+                        valid0 = keep0_s[...] >= 0.5
+                        valid1 = keep1_s[...] >= 0.5
+                        total = jnp.maximum(
+                            (jnp.sum(keep0_s[...]) + jnp.sum(keep1_s[...]))
+                            * (1.0 / 128.0),
+                            1.0,
+                        )
+                    elif masked:
+                        valid0 = rows0 < lens[0]
+                        valid1 = rows1 < lens[1]
+                        total = jnp.maximum(
+                            (lens[0] + lens[1]).astype(jnp.float32), 1.0
+                        )
+                    else:
+                        valid0 = rows0 >= 0
+                        valid1 = rows1 >= 0
+                        total = jnp.float32(n0 + n1)
+                    cnt = (
+                        jnp.sum(jnp.where((lgt0 >= thr) & valid0, 1.0, 0.0))
+                        + jnp.sum(
+                            jnp.where((lgt1 >= thr) & valid1, 1.0, 0.0)
+                        )
+                    ) * (1.0 / 128.0)
+                    stop = cnt / total > depth_confidence
 
-            @pl.when(stop)
-            def _():
+                    @pl.when(stop)
+                    def _():
+                        exit_ref[...] = jnp.full(
+                            exit_ref.shape, lf + 1.0, jnp.float32
+                        )
+
+                else:
+                    stop = jnp.bool_(False)
+
+                if width:
+                    # ---- in-kernel width pruning (upstream
+                    # get_pruning_mask, reference lightglue.py:260-262 +
+                    # 300-301): keep tokens that are matchable OR
+                    # unconfident, evaluated in logit space like the depth
+                    # head. A pair that stops at this layer prunes nothing
+                    # (while_loop parity). Instead of gather-compaction
+                    # (impossible in-kernel) the keep mask masks S columns
+                    # from the next layer on; compaction to
+                    # AdaptiveOutput's contract happens ONCE outside the
+                    # kernel (VERDICT r3 weak #3).
+                    p_keep = 1.0 - width_confidence
+                    mthr = (
+                        math.log(p_keep) - math.log(1.0 - p_keep)
+                    ) - matchb_ref[l, 0]
+                    match_w = match_w_ref[0].astype(attn_dtype)  # (E, 128)
+                    mlgt0 = _dot(x0.astype(attn_dtype), match_w)
+                    mlgt1 = _dot(x1.astype(attn_dtype), match_w)
+                    upd0 = jnp.where(
+                        (mlgt0 > mthr) | (lgt0 <= thr), 1.0, 0.0
+                    )
+                    upd1 = jnp.where(
+                        (mlgt1 > mthr) | (lgt1 <= thr), 1.0, 0.0
+                    )
+                    # scratch + outputs + krow are refreshed only when a
+                    # currently-kept token is actually retired; multiplying
+                    # by an all-ones upd is a no-op the steady state (most
+                    # layers of a full-depth run) need not pay
+                    fired = (
+                        jnp.sum(keep0_s[...] * (1.0 - upd0))
+                        + jnp.sum(keep1_s[...] * (1.0 - upd1))
+                    ) > 0.0
+
+                    @pl.when(jnp.logical_not(stop) & fired)
+                    def _():
+                        nk0 = keep0_s[...] * upd0
+                        nk1 = keep1_s[...] * upd1
+                        keep0_s[...] = nk0
+                        keep1_s[...] = nk1
+                        # the exit step's (un-updated) mask is what
+                        # survives to the output — later steps of a stopped
+                        # pair skip _run_layer, and un-fired steps keep the
+                        # previous (identical) write
+                        keep0_out[...] = nk0[None]
+                        keep1_out[...] = nk1[None]
+                        # refresh the lane-oriented keep row: (N, 1)x(N, N)
+                        # identity contraction on the MXU (Mosaic has no
+                        # cheap cross-layout vector transpose — CLAUDE.md
+                        # lane-offset notes); ~1M MACs, and now paid only
+                        # per retirement instead of per layer
+                        idn0 = (
+                            jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 0)
+                            == jax.lax.broadcasted_iota(
+                                jnp.int32, (n0, n0), 1
+                            )
+                        ).astype(attn_dtype)
+                        idn1 = (
+                            jax.lax.broadcasted_iota(jnp.int32, (n1, n1), 0)
+                            == jax.lax.broadcasted_iota(
+                                jnp.int32, (n1, n1), 1
+                            )
+                        ).astype(attn_dtype)
+                        krow0_s[...] = jnp.broadcast_to(
+                            _dot(
+                                nk0[:, 0:1].astype(attn_dtype),
+                                idn0,
+                                contract=((0,), (0,)),
+                            ),
+                            krow0_s.shape,
+                        )
+                        krow1_s[...] = jnp.broadcast_to(
+                            _dot(
+                                nk1[:, 0:1].astype(attn_dtype),
+                                idn1,
+                                contract=((0,), (0,)),
+                            ),
+                            krow1_s.shape,
+                        )
+
+            @pl.when(is_last)
+            def _forced_exit():
                 exit_ref[...] = jnp.full(
-                    exit_ref.shape,
-                    (l + layer_offset).astype(jnp.float32) + 1.0,
-                    jnp.float32,
+                    exit_ref.shape, float(n_layers), jnp.float32
                 )
 
-            if width:
-                # ---- in-kernel width pruning (upstream get_pruning_mask,
-                # reference lightglue.py:260-262 + 300-301): keep tokens
-                # that are matchable OR unconfident, evaluated in logit
-                # space like the depth head. A pair that stops at this
-                # layer prunes nothing (while_loop parity). Instead of
-                # gather-compaction (impossible in-kernel) the keep mask
-                # masks S columns from the next layer on; compaction to
-                # AdaptiveOutput's contract happens ONCE outside the
-                # kernel — that single pass replaces the 9 per-layer
-                # dispatch+argsort rounds that made depth+width cost 27%
-                # over fixed depth (VERDICT r3 weak #3).
-                p_keep = 1.0 - width_confidence
-                mthr = (
-                    math.log(p_keep) - math.log(1.0 - p_keep)
-                ) - matchb_ref[l, 0]
-                match_w = match_w_ref[0].astype(attn_dtype)  # (E, 128)
-                mlgt0 = _dot(x0.astype(attn_dtype), match_w)  # (N0, 128) f32
-                mlgt1 = _dot(x1.astype(attn_dtype), match_w)
-                upd0 = jnp.where((mlgt0 > mthr) | (lgt0 <= thr), 1.0, 0.0)
-                upd1 = jnp.where((mlgt1 > mthr) | (lgt1 <= thr), 1.0, 0.0)
-
-                @pl.when(~stop)
-                def _():
-                    keep0_s[...] = keep0_s[...] * upd0
-                    keep1_s[...] = keep1_s[...] * upd1
-
-                # the exit step's (un-updated) mask is what survives to the
-                # output — later steps of a stopped pair skip _run_layer
-                keep0_out[...] = keep0_s[...][None]
-                keep1_out[...] = keep1_s[...][None]
-
     if adaptive:
-        live = exit_ref[0, 0, 0] > l.astype(jnp.float32)
+        if depth_confidence < 1.0 or has_exited_in:
+            live = exit_ref[0, 0, 0] > l.astype(jnp.float32)
 
-        @pl.when(live)
-        def _():
+            @pl.when(live)
+            def _():
+                _run_layer()
+        else:
+            # width-only single phase: the exit register holds the sentinel
+            # until the forced last-layer write, so every step is live —
+            # skip the per-step register read/branch (VERDICT r4 next #5c)
             _run_layer()
     else:
         _run_layer()
@@ -1050,6 +1132,10 @@ def transformer_stack_adaptive(
         scratch_shapes = [
             pltpu.VMEM((n0, 128), jnp.float32),
             pltpu.VMEM((n1, 128), jnp.float32),
+            # lane-oriented keep rows (8 sublanes = minimum f32 tile),
+            # refreshed only when pruning retires a token
+            pltpu.VMEM((8, n0), jnp.float32),
+            pltpu.VMEM((8, n1), jnp.float32),
         ]
 
     inputs = [lens]
