@@ -1,0 +1,78 @@
+"""Chip A/B: INT8 rung with real int8 matmuls (W8A8) vs weight-only dequant.
+
+VERDICT r4 next #4: weight-only int8 ties bf16 at batch 1 AND 8 (the halved
+weight HBM bytes are hidden behind compute), so the only way the rung can
+WIN is v5e's ~2x int8 MXU rate. LGTPU_W8A8=1 switches the megakernel's
+projection/FFN matmuls to per-row dynamically quantized int8 activations x
+per-channel int8 weights with int32 accumulation
+(kernels/layer_stack.py:_linear "q8" mode). The flag is read at trace time,
+so each variant runs in its own subprocess (shared persistent compile
+cache keeps the second run of a session cheap).
+
+Also records accuracy: mutual-NN row-argmax agreement of each variant vs
+the fp32 rung on identical weights (the verify_ab discipline — random-init
+weights make absolute match counts meaningless).
+
+Run: PYTHONPATH=src python scripts/bench_w8a8.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, {root_src!r})
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import bench
+from lightglue_tpu.precision import Precision
+
+res = {{
+    "backend": jax.default_backend(),
+    "w8a8": __import__("os").environ.get("LGTPU_W8A8", "0"),
+    "int8_1x1024": bench.bench_lightglue(Precision.INT8),
+    "int8_batch8_per_pair": {{
+        k: round(v / 8, 3) if k not in ("spread_pct", "reps")
+        else ([round(x / 8, 3) for x in v] if k == "reps" else v)
+        for k, v in bench.bench_lightglue(Precision.INT8, batch=8).items()
+        if k != "outlier_contaminated"
+    }},
+}}
+print("CHILD_RESULT " + json.dumps(res))
+"""
+
+
+def run_variant(w8a8: bool):
+    env = dict(os.environ, LGTPU_W8A8="1" if w8a8 else "0")
+    src = _CHILD.format(root_src=str(ROOT / "src"), root=str(ROOT))
+    r = subprocess.run(
+        [sys.executable, "-c", src],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    print(r.stdout[-2000:], file=sys.stderr)
+    print(r.stderr[-2000:], file=sys.stderr)
+    raise RuntimeError(f"variant w8a8={w8a8} failed rc={r.returncode}")
+
+
+def main():
+    for w8a8 in (False, True):
+        res = run_variant(w8a8)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _w8a8_default() -> bool:
+    """Default for the INT8 rung's W8A8 mode: OFF (weight-only dequant).
+
+    LGTPU_W8A8=1 turns the megakernel's projection/FFN matmuls into real
+    int8 arithmetic — per-row dynamic activation quantization in-kernel,
+    int8 x int8 -> int32 on the MXU (v5e's int8 rate is ~2x bf16), dequant
+    on the fp32 accumulator (VERDICT r4 next #4: the one remaining way the
+    int8 rung could WIN rather than merely exist; weight-only's halved HBM
+    bytes are already hidden). Read at trace time — A/B via subprocesses
+    (scripts/bench_w8a8.py)."""
+    return os.environ.get("LGTPU_W8A8", "0") not in ("", "0")
+
+
 def _dot(a, b, contract=((1,), (0,))):
     # fp32 operands must request HIGHEST or the MXU silently degrades them
     # to single bf16 passes (~1e-3 relative error) — the MIXED/FP32 rungs
@@ -119,6 +132,7 @@ def _layer_stack_kernel(
     masked: bool,
     quantized: bool,
     cross_transposed: bool,
+    w8a8: bool = False,
     adaptive: bool = False,
     n_layers: int = 0,
     depth_confidence: float = -1.0,
@@ -224,15 +238,21 @@ def _layer_stack_kernel(
         if quantized:
             wq, sc = _take(), _take()
             b = _take()
+            if w8a8:
+                # real-int8 mode: hand the raw int8 weight + per-channel
+                # scale refs to _linear for an int8 x int8 MXU matmul
+                return ("q8", wq, sc, b)
             return (
+                "f",
                 lambda: (wq[0].astype(jnp.float32) * sc[0]).astype(dt),
                 b,
             )
         w = _take()
         b = _take()
-        return (lambda: w[0].astype(dt)), b
+        return "f", (lambda: w[0].astype(dt)), b
 
-    sqkv_w, sqkv_b = _take_linear()
+    sqkv = _take_linear()
+    sqkv_b = sqkv[-1]
     sout = _take_linear()
     sffn1 = _take_linear()
     sln_g, sln_b = _take(), _take()
@@ -312,6 +332,24 @@ def _layer_stack_kernel(
                 keep0_s[:, 0:head_dim],
                 keep1_s[:, 0:head_dim],
             )
+        def _aquant(v):
+            """Per-row dynamic symmetric int8 activation quantization
+            (W8A8 mode): returns (int8 values, fp32 per-row scale)."""
+            vf = v.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(vf), axis=-1, keepdims=True)
+            sa = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+            vq = jnp.clip(jnp.round(vf / sa), -127.0, 127.0).astype(jnp.int8)
+            return vq, sa
+
+        def _doti8(aq, wq):
+            """int8 x int8 -> int32 on the MXU (v5e: ~2x the bf16 rate)."""
+            return jax.lax.dot_general(
+                aq,
+                wq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
         def _linear(v, lin):
             """v @ w + b with fp32 accumulation, result in the activation dtype.
 
@@ -320,8 +358,15 @@ def _layer_stack_kernel(
             MXU pass with fp32 accumulation instead of a HIGHEST multi-pass
             fp32 matmul — softmax stats, LayerNorm, and residual carries stay
             fp32 (VERDICT r2 #7; the FP32 rung keeps true-fp32 operands and
-            infers HIGHEST in _dot)."""
-            wfn, b_ref = lin
+            infers HIGHEST in _dot). W8A8 ("q8") lins run the matmul in real
+            int8 and dequantize the int32 accumulator by the per-row
+            activation scale x per-output-channel weight scale."""
+            if lin[0] == "q8":
+                _, wq, sc, b_ref = lin
+                vq, sa = _aquant(v)
+                y = _doti8(vq, wq[0]).astype(jnp.float32) * sa * sc[0]
+                return y.astype(dt) + b_ref[0].astype(dt)
+            _, wfn, b_ref = lin
             y = _dot(v.astype(attn_dtype), wfn().astype(attn_dtype)).astype(dt)
             return y + b_ref[0].astype(dt)
 
@@ -355,17 +400,41 @@ def _layer_stack_kernel(
         # two buckets DIFFER (mixed 256x512 pairs run here, not on the ~1.6x
         # slower per-block fallback)
         # component-major (3, E, E) weights; operands in attn_dtype like
-        # _linear (single-pass MXU matmuls for MIXED, true fp32 for FP32)
-        qkv_w = sqkv_w().astype(attn_dtype)
+        # _linear (single-pass MXU matmuls for MIXED, true fp32 for FP32).
+        # W8A8: activations quantized ONCE per image, three int8 component
+        # matmuls dequantized on their int32 accumulators.
+        if sqkv[0] != "q8":
+            qkv_w = sqkv[1]().astype(attn_dtype)
         xs = (x0, x1)
         frefs = (f0_ref, f1_ref)
         new_xs = []
         for img in range(2):
             xi = xs[img]
             xa = xi.astype(attn_dtype)  # matmul operand; residual stays dt
-            q_img = _dot(xa, qkv_w[0]).astype(dt) + sqkv_b[0, 0:1, :].astype(dt)
-            k_img = _dot(xa, qkv_w[1]).astype(dt) + sqkv_b[0, 1:2, :].astype(dt)
-            v_img = _dot(xa, qkv_w[2]).astype(dt) + sqkv_b[0, 2:3, :].astype(dt)
+            if sqkv[0] == "q8":
+                xq, sa = _aquant(xi)
+                wq3, sc3 = sqkv[1][0], sqkv[2][0]  # (3, E, E) i8 / (3, 1, E)
+
+                def _qcomp(c):
+                    y = (
+                        _doti8(xq, wq3[c]).astype(jnp.float32) * sa * sc3[c]
+                    )
+                    return y.astype(dt) + sqkv_b[0, c : c + 1, :].astype(dt)
+
+                q_img, k_img, v_img = _qcomp(0), _qcomp(1), _qcomp(2)
+            else:
+                q_img = (
+                    _dot(xa, qkv_w[0]).astype(dt)
+                    + sqkv_b[0, 0:1, :].astype(dt)
+                )
+                k_img = (
+                    _dot(xa, qkv_w[1]).astype(dt)
+                    + sqkv_b[0, 1:2, :].astype(dt)
+                )
+                v_img = (
+                    _dot(xa, qkv_w[2]).astype(dt)
+                    + sqkv_b[0, 2:3, :].astype(dt)
+                )
             heads = []
             for h in range(num_heads):
                 c0 = h * head_dim
@@ -805,6 +874,7 @@ def transformer_stack(
         attn_dtype=attn_dtype,
         masked=masked,
         quantized=quantized,
+        w8a8=quantized and _w8a8_default(),
         cross_transposed=cross_transposed,
     )
 
@@ -1023,6 +1093,7 @@ def transformer_stack_adaptive(
         attn_dtype=attn_dtype,
         masked=True,
         quantized=quantized,
+        w8a8=quantized and _w8a8_default(),
         cross_transposed=cross_transposed,
         adaptive=True,
         n_layers=int(n_layers),
