@@ -228,3 +228,67 @@ def test_warmup_covers_cap_full_variant():
         "cap-full unmasked variant not warmed"
     )
     assert (128, 128, False) in session._match_cache
+
+
+def test_odd_width_frame_extract_and_match():
+    """480x600 (w % 128 != 0): the fused-extraction hedge routes TPU to the
+    dense NMS+tiled-topk path (pipeline/extract.py fused_ok); this drives
+    the full session extract+match at an odd width on whatever backend the
+    suite runs on — under LGTPU_TEST_TPU=1 this is the chip evidence for
+    the non-128-multiple fallback (VERDICT r4 next #6; the reference
+    accepts arbitrary --img_size, export_onnx_with_plugin.py:25-58).
+    The raw-scores production path must agree with the explicit dense
+    simple_nms path keypoint-for-keypoint."""
+    import jax.numpy as jnp
+
+    from lightglue_tpu.config import (
+        LightGlueConfig, PipelineConfig, SuperPointConfig
+    )
+    from lightglue_tpu.kernels.nms import simple_nms
+    from lightglue_tpu.models import superpoint
+    from lightglue_tpu.pipeline.extract import extract_keypoints
+    from lightglue_tpu.runtime.session import MatcherSession
+
+    h, w = 480, 600
+    config = PipelineConfig(
+        superpoint=SuperPointConfig(max_num_keypoints=512),
+        lightglue=LightGlueConfig(n_layers=2),
+        precision=Precision.FP32,
+        buckets=(512,),
+        match_threshold=1e-6,
+        max_matches=512,
+    )
+    session = MatcherSession(config=config, compile_cache_dir=None)
+    rng = np.random.default_rng(7)
+    base = rng.random((h, w, 1), dtype=np.float32)
+    img0 = base
+    img1 = np.roll(base, 3, axis=1)  # shifted copy: correlated structure
+
+    result = session.match_pair(img0, img1)
+    assert result["num_keypoints0"] > 50, "too few keypoints; vacuous"
+    assert result["num_keypoints1"] > 50
+    kp = result["keypoints0"][: result["num_keypoints0"]]
+    assert kp[:, 0].max() < w - 4 and kp[:, 1].max() < h - 4  # border mask
+    assert kp[:, 0].min() >= 4 and kp[:, 1].min() >= 4
+
+    # production raw-scores path vs explicit dense NMS path at this width
+    raw, desc = superpoint.forward(
+        session.sp_params,
+        jnp.asarray(img0[None]),
+        config=config.superpoint,
+        policy=session.policy,
+        nms=False,
+    )
+    got = extract_keypoints(
+        raw, desc, config=config.superpoint, raw_scores=True
+    )
+    want = extract_keypoints(
+        simple_nms(raw, config.superpoint.nms_radius),
+        desc,
+        config=config.superpoint,
+    )
+    n = int(want.count[0])
+    assert int(got.count[0]) == n
+    np.testing.assert_array_equal(
+        np.asarray(got.keypoints[0, :n]), np.asarray(want.keypoints[0, :n])
+    )
