@@ -118,7 +118,20 @@ def _conv_kernel(x_hbm_ref, w_ref, b_ref, out_ref, scratch, sems, *,
             )
             o = d if o is None else o + d
         o = o.reshape(rows, up, 2 * cout)
-        o = o[:, 0:w, 0:cout] + o[:, 1 : w + 1, cout : 2 * cout]
+        if (
+            os.environ.get("LGTPU_CONV_EPI16", "0") not in ("", "0")
+            and jnp.dtype(out_dtype) == jnp.bfloat16
+        ):
+            # A/B variant (VERDICT r4 next #8): run the shifted add of the
+            # two accumulator halves in bf16 — halves the epilogue bytes at
+            # the cost of one extra bf16 rounding (the output is rounded to
+            # bf16 anyway). Trace-time flag; scripts/bench_stem_r05.py.
+            ob = o.astype(jnp.bfloat16)
+            o = (
+                ob[:, 0:w, 0:cout] + ob[:, 1 : w + 1, cout : 2 * cout]
+            ).astype(jnp.float32)
+        else:
+            o = o[:, 0:w, 0:cout] + o[:, 1 : w + 1, cout : 2 * cout]
     else:
         for di in range(3):
             for dj in range(3):
