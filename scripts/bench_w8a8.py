@@ -46,6 +46,52 @@ res = {{
         if k != "outlier_contaminated"
     }},
 }}
+
+# accuracy anchor: mutual-NN match-set IoU and row-argmax agreement of this
+# int8 variant vs the fp32 rung on IDENTICAL weights (verify_ab discipline
+# — random-init weights make absolute match counts meaningless)
+import numpy as np
+import jax.numpy as jnp
+from lightglue_tpu.config import LightGlueConfig
+from lightglue_tpu.models import lightglue as lg
+from lightglue_tpu.precision import policy_for
+from lightglue_tpu.runtime import weights
+from lightglue_tpu.quant import quantize_lightglue
+
+config = LightGlueConfig()
+raw = weights.init_lightglue(0, config)
+rng = np.random.default_rng(0)
+n = 512
+args = (
+    jnp.asarray(rng.uniform(-1, 1, (1, n, 2)).astype(np.float32)),
+    jnp.asarray(rng.uniform(-1, 1, (1, n, 2)).astype(np.float32)),
+    jnp.asarray(rng.standard_normal((1, n, 256), dtype=np.float32)),
+    jnp.asarray(rng.standard_normal((1, n, 256), dtype=np.float32)),
+    None, None,
+)
+qs = np.asarray(lg.forward(
+    weights.to_jax(quantize_lightglue(raw)),
+    args[0], args[1],
+    args[2].astype(jnp.bfloat16), args[3].astype(jnp.bfloat16), None, None,
+    config=config, policy=policy_for(Precision.INT8),
+).scores.astype(jnp.float32))[0]
+fs = np.asarray(lg.forward(
+    weights.to_jax(raw, jnp.float32), *args,
+    config=config, policy=policy_for(Precision.FP32),
+).scores.astype(jnp.float32))[0]
+
+
+def mnn(s):
+    ra, ca = s.argmax(1), s.argmax(0)
+    return {{(i, int(ra[i])) for i in range(s.shape[0])
+             if ca[ra[i]] == i}}
+
+
+mq, mf = mnn(qs), mnn(fs)
+res["acc_vs_fp32"] = {{
+    "row_argmax_agree": round(float((qs.argmax(1) == fs.argmax(1)).mean()), 4),
+    "mutual_nn_iou": round(len(mq & mf) / max(len(mq | mf), 1), 4),
+}}
 print("CHILD_RESULT " + json.dumps(res))
 """
 
