@@ -207,3 +207,84 @@ def test_bidirectional_cross_matches_two_attentions(rng):
             np.asarray(o1m[bi, :n1]), rr1, atol=1e-5, rtol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(o1m[bi, n1:]), 0.0)
+
+
+class TestFlashAttentionStep:
+    """Carry-in/carry-out step kernel (the ring-attention local body)."""
+
+    def _merge_blocks(self, q, kb, vb, lengths, order):
+        from lightglue_tpu.kernels.attention import flash_attention_step
+
+        b, h, n, d = q.shape
+        nk = kb.shape[3]
+        m = jnp.full((b, h, n, 1), -1e30, jnp.float32)
+        l = jnp.zeros((b, h, n, 1), jnp.float32)
+        acc = jnp.zeros((b, h, n, d), jnp.float32)
+        for s in order:
+            m, l, acc = flash_attention_step(
+                q, kb[s], vb[s], m, l, acc, lengths,
+                jnp.int32(0), jnp.int32(s * nk),
+            )
+        out = acc / jnp.where(l == 0.0, 1.0, l)
+        if lengths is not None:
+            rows = jnp.arange(n)
+            ok = rows[None, :] < lengths[:, 0][:, None]
+            out = jnp.where(ok[:, None, :, None], out, 0.0)
+        return out
+
+    def _data(self, rng, blocks=4, n=64, nk=64, h=2, d=64):
+        q = jnp.asarray(rng.standard_normal((1, h, n, d), dtype=np.float32))
+        kb = jnp.asarray(
+            rng.standard_normal((blocks, 1, h, nk, d), dtype=np.float32)
+        )
+        vb = jnp.asarray(
+            rng.standard_normal((blocks, 1, h, nk, d), dtype=np.float32)
+        )
+        return q, kb, vb
+
+    def test_block_accumulation_matches_reference(self, rng):
+        q, kb, vb = self._data(rng)
+        kfull = jnp.concatenate(list(kb), axis=2)
+        vfull = jnp.concatenate(list(vb), axis=2)
+        ref = reference_attention(q, kfull, vfull)
+        out = self._merge_blocks(q, kb, vb, None, range(4))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6
+        )
+
+    def test_order_invariance(self, rng):
+        """The FA-2 merge is algebraically order-free — ring rotation order
+        (any start device) must give the same answer up to fp rounding."""
+        q, kb, vb = self._data(rng)
+        a = self._merge_blocks(q, kb, vb, None, [0, 1, 2, 3])
+        b = self._merge_blocks(q, kb, vb, None, [2, 3, 0, 1])
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6, rtol=5e-6
+        )
+
+    def test_masked_lengths_and_passthrough_blocks(self, rng):
+        """kv_len cuts mid-block: later blocks are fully out of range and
+        must pass carries through unchanged; the cut block masks its tail."""
+        q, kb, vb = self._data(rng)
+        n, nk = 64, 64
+        kv_len = nk + 17  # block 0 full, block 1 partial, blocks 2-3 dead
+        q_len = n - 5
+        lengths = jnp.asarray([[q_len, kv_len]], jnp.int32)
+        kfull = jnp.concatenate(list(kb), axis=2)
+        vfull = jnp.concatenate(list(vb), axis=2)
+        ref = reference_attention(
+            q[:, :, :q_len], kfull[:, :, :kv_len], vfull[:, :, :kv_len]
+        )
+        out = self._merge_blocks(q, kb, vb, lengths, range(4))
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, :q_len]), np.asarray(ref),
+            atol=2e-6, rtol=2e-6,
+        )
+        # padded Q rows were zeroed by the finalize
+        assert float(jnp.max(jnp.abs(out[:, :, q_len:]))) == 0.0
+
+    def test_zero_kv_len_yields_zero(self, rng):
+        q, kb, vb = self._data(rng)
+        lengths = jnp.asarray([[64, 0]], jnp.int32)
+        out = self._merge_blocks(q, kb, vb, lengths, range(4))
+        assert float(jnp.max(jnp.abs(out))) == 0.0
