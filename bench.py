@@ -62,7 +62,7 @@ def _run_once(fn, args):
     return time.perf_counter() - t0
 
 
-def _timed(make_fn, *args):
+def _timed(make_fn, *args, iters_lo=None, iters_hi=None, repeats=None):
     """Interleaved two-point estimates with error bars.
 
     REPEATS reps each measure a (T_lo, T_hi) pair back to back and yield one
@@ -77,14 +77,17 @@ def _timed(make_fn, *args):
     uninterpretable exactly when needed (VERDICT r4 weak #4 / next #7). Raw
     reps are kept in the artifact for audit; a row where even the trimmed
     spread exceeds 25% is flagged outlier_contaminated rather than trusted."""
-    fn_lo, fn_hi = make_fn(ITERS_LO), make_fn(ITERS_HI)
+    ilo = ITERS_LO if iters_lo is None else iters_lo
+    ihi = ITERS_HI if iters_hi is None else iters_hi
+    reps = REPEATS if repeats is None else repeats
+    fn_lo, fn_hi = make_fn(ilo), make_fn(ihi)
     _run_once(fn_lo, args)  # compile + warmup both cache entries
     _run_once(fn_hi, args)
     est = []
-    for _ in range(REPEATS):
+    for _ in range(reps):
         t_lo = _run_once(fn_lo, args)
         t_hi = _run_once(fn_hi, args)
-        est.append(max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO) * 1e3)
+        est.append(max(t_hi - t_lo, 1e-9) / (ihi - ilo) * 1e3)
     p50 = float(np.median(est))
     trimmed = sorted(est)[1:-1] if len(est) >= 3 else sorted(est)
     spread = (max(trimmed) - min(trimmed)) / p50 * 100.0
@@ -367,12 +370,26 @@ def _last_committed_chip() -> dict:
                         ["git", "log", "-1", "--format=%H %cI", "--", rel],
                         cwd=root, capture_output=True, text=True, timeout=30,
                     ).stdout.strip()
+                    # age from the COMMIT date (mtime is checkout time on a
+                    # fresh clone and would claim a weeks-old record is new)
+                    age = None
+                    if sha:
+                        try:
+                            from datetime import datetime
+
+                            cdate = datetime.fromisoformat(
+                                sha.split(" ", 1)[1]
+                            )
+                            age = round(
+                                (time.time() - cdate.timestamp()) / 86400.0,
+                                1,
+                            )
+                        except Exception:
+                            pass
                     best = {
                         "source": rel,
                         "git": sha,
-                        "age_days": round(
-                            (time.time() - p.stat().st_mtime) / 86400.0, 1
-                        ),
+                        "age_days": age,
                         "value_ms": rec["value"],
                         "vs_baseline": rec.get("vs_baseline"),
                         "e2e_pair_ms": (rec.get("extra", {})

@@ -18,7 +18,6 @@ Run: PYTHONPATH=src python scripts/bench_ring_local.py
 """
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
@@ -33,31 +32,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 
+import bench  # the hardened two-point methodology (trimmed spreads)
 from lightglue_tpu.kernels.attention import flash_attention_step
 
-ITERS_LO, ITERS_HI, REPEATS = 10, 40, 5
 _NEG_INF = -1e30
 
 
-def _run_once(fn, args):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])
-    return time.perf_counter() - t0
-
-
 def _timed(make_fn, *args):
-    fn_lo, fn_hi = make_fn(ITERS_LO), make_fn(ITERS_HI)
-    _run_once(fn_lo, args)
-    _run_once(fn_hi, args)
-    est = []
-    for _ in range(REPEATS):
-        t_lo = _run_once(fn_lo, args)
-        t_hi = _run_once(fn_hi, args)
-        est.append(max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO) * 1e3)
-    trimmed = sorted(est)[1:-1]
-    p50 = float(np.median(est))
-    return p50, (max(trimmed) - min(trimmed)) / p50 * 100.0
+    r = bench._timed(make_fn, *args, iters_lo=10, iters_hi=40)
+    return r["p50"], r["spread_pct"]
 
 
 def _serial_ring_kernel(q, k_blocks, v_blocks, lengths, ring):

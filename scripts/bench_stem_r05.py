@@ -9,7 +9,14 @@ cache):
 - LGTPU_CONV_EPI16=1           — bf16 shifted-add epilogue (halved
                                  accumulator epilogue bytes, +1 bf16 round)
 - LGTPU_CONV_ROWS in {16, 48, 96} — strip-height sweep (DMA amortization vs
-                                 VMEM pressure; default picks 32)
+                                 VMEM pressure; default picks 32). NOTE the
+                                 override only applies to conv layers whose
+                                 strip height it divides (conv._pick_rows):
+                                 96 -> h=480 only, 48/16 -> h=480 and 240;
+                                 deeper layers keep their defaults. The
+                                 TARGET layer (conv1b at h=480) is covered
+                                 by every value, but a delta is attributable
+                                 to the stem, not the whole encoder.
 
 Metric: bench.bench_superpoint (full SuperPoint forward + fused extraction,
 480x640 bf16 — the production path). Keep the winner beyond spread,

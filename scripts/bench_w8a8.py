@@ -40,10 +40,12 @@ res = {{
     "w8a8": __import__("os").environ.get("LGTPU_W8A8", "0"),
     "int8_1x1024": bench.bench_lightglue(Precision.INT8),
     "int8_batch8_per_pair": {{
-        k: round(v / 8, 3) if k not in ("spread_pct", "reps")
-        else ([round(x / 8, 3) for x in v] if k == "reps" else v)
+        k: (
+            v if k in ("spread_pct", "outlier_contaminated")
+            else [round(x / 8, 3) for x in v] if k == "reps"
+            else round(v / 8, 3)
+        )
         for k, v in bench.bench_lightglue(Precision.INT8, batch=8).items()
-        if k != "outlier_contaminated"
     }},
 }}
 

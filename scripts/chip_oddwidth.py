@@ -28,16 +28,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from lightglue_tpu.kernels.nms import nms_candidates, simple_nms
-from lightglue_tpu.pipeline.extract import _topk_nms_tiled, mask_borders
+from lightglue_tpu.pipeline.extract import (
+    _topk_candidates,
+    _topk_nms_tiled,
+    mask_borders,
+)
 
 THRESH = 0.0005
+K = 1024
 
 
 def check(h, w):
     rng = np.random.default_rng(1)
     scores = jnp.asarray(rng.random((1, h, w), dtype=np.float32))
     dense = mask_borders(simple_nms(scores, 4), 4)
-    dv, di = _topk_nms_tiled(dense, 1024, h, w)
+    dv, di = _topk_nms_tiled(dense, K, h, w)
     want = {
         int(i)
         for v, i in zip(np.asarray(dv[0]), np.asarray(di[0]))
@@ -47,6 +52,10 @@ def check(h, w):
         cv, ci = nms_candidates(
             scores, nms_radius=4, border=4, cap=4, interpret=False
         )
+        # the production path takes top-K over the candidate list
+        # (extract_keypoints) — compare like with like, or a correct kernel
+        # 'fails' simply because its full candidate list is longer than K
+        cv, ci = _topk_candidates(cv, ci, K)
         cv, ci = np.asarray(cv[0]), np.asarray(ci[0])
     except Exception:
         print(f"{h}x{w}: FUSED KERNEL FAILED TO LOWER/RUN:", flush=True)

@@ -5,12 +5,15 @@
 # copied into golden/chip_r05/ at the end.
 set -u
 cd "$(dirname "$0")/.."
-BASE_LOG=${BASE_LOG:-/tmp/chip_recovery_r05/log}
+# chip_recovery.sh logs to $OUT/log with OUT defaulting to
+# /tmp/chip_recovery — check both the per-round and default locations so a
+# defaults-launched base queue is still detected
+BASE_LOGS=${BASE_LOG:-"/tmp/chip_recovery_r05/log /tmp/chip_recovery/log"}
 OUT=${OUT:-/tmp/chip_r05_extras}
 mkdir -p "$OUT"
 
-echo "$(date +%T) waiting for base queue ($BASE_LOG)" | tee -a "$OUT/log"
-until grep -q "chip queue done" "$BASE_LOG" 2>/dev/null; do
+echo "$(date +%T) waiting for base queue ($BASE_LOGS)" | tee -a "$OUT/log"
+until grep -q "chip queue done" $BASE_LOGS 2>/dev/null; do
   sleep 60
 done
 echo "$(date +%T) base queue done; starting extras" | tee -a "$OUT/log"

@@ -452,13 +452,19 @@ def flash_attention_step(
     """
     batch, heads, n, head_dim = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, n)
-    block_k = min(block_k, nk)
-    if n % block_q or nk % block_k:
-        raise ValueError(
-            f"seq lengths ({n}, {nk}) must be multiples of blocks "
-            f"({block_q}, {block_k})"
-        )
+
+    def _fit_block(size, cap):
+        # largest divisor of the (static) seq length <= cap — ring stripe
+        # sizes are arbitrary (N / ring), so unlike flash_attention this
+        # must not reject e.g. 1536; worst case degrades the block, never
+        # errors
+        b = min(cap, size)
+        while size % b:
+            b -= 1
+        return b
+
+    block_q = _fit_block(n, block_q)
+    block_k = _fit_block(nk, block_k)
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
     stat_dtype = jnp.dtype(stat_dtype)
