@@ -32,14 +32,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 
-import bench  # the hardened two-point methodology (trimmed spreads)
+import bench as bench_harness  # hardened two-point methodology
 from lightglue_tpu.kernels.attention import flash_attention_step
 
 _NEG_INF = -1e30
 
 
 def _timed(make_fn, *args):
-    r = bench._timed(make_fn, *args, iters_lo=10, iters_hi=40)
+    r = bench_harness._timed(make_fn, *args, iters_lo=10, iters_hi=40)
     return r["p50"], r["spread_pct"]
 
 
