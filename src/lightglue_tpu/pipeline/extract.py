@@ -215,13 +215,12 @@ def extract_keypoints(
         and w % tile == 0
         and (h // tile) * (w // tile) * cap >= k
     )
-    # the fused kernel's output blocks put W on the lane dim; widths that
-    # are not a multiple of 128 are untested against Mosaic's whole-dim
-    # padding on real hardware — hedge to the dense path there (interpret
-    # mode handles any W)
-    fused_ok = tiled_ok and (
-        w % 128 == 0 or jax.default_backend() != "tpu"
-    )
+    # r4 hedged this to w % 128 == 0 on TPU (Mosaic whole-dim lane padding
+    # at odd widths was unproven on hardware); r5 chip evidence removed the
+    # hedge: the fused kernel matches the dense path candidate-for-
+    # candidate at 480x600 AND 360x488 on the real chip
+    # (golden/chip_r05/oddwidth.out: UNHEDGE_OK, scripts/chip_oddwidth.py)
+    fused_ok = tiled_ok
     if raw_scores and fused_ok:
         from lightglue_tpu.kernels.nms import nms_candidates
 
