@@ -102,6 +102,21 @@ def _timed(make_fn, *args, iters_lo=None, iters_hi=None, repeats=None):
     return out
 
 
+def _per_pair(res: dict, batch: int) -> dict:
+    """Scale a _timed record to per-pair numbers; ratio/flag/rep fields are
+    passed through or scaled element-wise (the r5 reps list must not be
+    divided as a list — that TypeError cost bench_final.2 its tail)."""
+    out = {}
+    for k, v in res.items():
+        if k in ("spread_pct", "outlier_contaminated"):
+            out[k] = v
+        elif k == "reps":
+            out[k] = [round(x / batch, 3) for x in v]
+        else:
+            out[k] = round(v / batch, 3)
+    return out
+
+
 def bench_lightglue(
     precision: Precision,
     n: int = 1024,
@@ -511,8 +526,7 @@ def main():
             BASELINE_SP_FP32_MS / sp["p50"], 2
         )
         b8 = bench_lightglue(Precision.BF16, batch=8)
-        b8 = {k: round(v / 8, 3) if k != "spread_pct" else v
-              for k, v in b8.items()}
+        b8 = _per_pair(b8, 8)
         extra["lightglue_bf16_batch8_per_pair_ms"] = b8
         extra["lightglue_bf16_pairs_per_s_chip"] = round(1e3 / b8["p50"], 1)
         extra["lightglue_int8_1x1024_ms"] = bench_lightglue(Precision.INT8)
@@ -520,8 +534,7 @@ def main():
         # streams b x weight_bytes per dispatch, kernels/layer_stack.py) —
         # measure it where halved weight bytes should actually show
         i8b8 = bench_lightglue(Precision.INT8, batch=8)
-        i8b8 = {k: round(v / 8, 3) if k != "spread_pct" else v
-                for k, v in i8b8.items()}
+        i8b8 = _per_pair(i8b8, 8)
         extra["lightglue_int8_batch8_per_pair_ms"] = i8b8
         e2e = bench_e2e(Precision.BF16)
         extra["e2e_pair_bf16_ms"] = e2e
