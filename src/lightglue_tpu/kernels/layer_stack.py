@@ -278,14 +278,18 @@ def _layer_stack_kernel(
     # the -1e30 sentinel and its max m IS the sentinel. exp(s - m) is then
     # exp(0) = 1 under fp32 stats (o becomes a garbage mean over retired v
     # rows) or exp(+1e28) = inf under bf16-requantized stats (m rounds past
-    # s, poisoning o with inf*0 NaN that `o * kouts` keeps). Zeroing p when
-    # m sits at the sentinel makes lsum 0 so the existing lsum==0 guard
-    # yields o == 0 — the graceful empty-attention result. Only the
-    # masked/width branches pay the extra VPU select.
+    # s, poisoning o with inf*0 NaN that `o * kouts` keeps). Clamping the
+    # ROW/COLUMN max to -5e29 fixes both: an all-masked row's exponents
+    # become s - m <= -5e29 -> exp == 0 exactly, so lsum == 0 and the
+    # existing guard yields o == 0 (graceful empty attention); real rows
+    # have maxes orders of magnitude above the clamp and are untouched.
+    # Clamping the (N, 1) stats vector costs ~N VPU ops vs the N^2 of an
+    # elementwise p guard — the first r5 guard did the latter and measured
+    # ~5% on EVERY masked dispatch (bench_final.2: masked 1.132 vs r4 1.08).
     _DEAD = _NEG_INF * 0.5
 
-    def _safe_exp(s, m):
-        return jnp.where(m > _DEAD, jnp.exp(s - m), 0.0)
+    def _safe_max(m):
+        return jnp.maximum(m, _DEAD)
 
     # NOTE on masking strategy (chip-measured, golden/chip_r03): a dynamic
     # KV trip count (online-softmax fori_loop over 256-col blocks, skipping
@@ -455,9 +459,8 @@ def _layer_stack_kernel(
                     s = jnp.where(self_cols[img] < lens[img], s, _NEG_INF)
                 m = _quant(jnp.max(s, axis=1, keepdims=True))
                 if width or masked:
-                    p = _quant(_safe_exp(s, m))
-                else:
-                    p = _quant(jnp.exp(s - m))
+                    m = _safe_max(m)
+                p = _quant(jnp.exp(s - m))
                 lsum = _quant(jnp.sum(p, axis=1, keepdims=True))
                 o = _dot(p.astype(attn_dtype), v_h) / jnp.where(
                     lsum == 0.0, 1.0, lsum
@@ -501,9 +504,8 @@ def _layer_stack_kernel(
                 s_row = s
             m0s = _quant(jnp.max(s_row, axis=1, keepdims=True))
             if width or masked:
-                p0 = _quant(_safe_exp(s_row, m0s))
-            else:
-                p0 = _quant(jnp.exp(s_row - m0s))
+                m0s = _safe_max(m0s)
+            p0 = _quant(jnp.exp(s_row - m0s))
             l0 = _quant(jnp.sum(p0, axis=1, keepdims=True))    # (N0, 1)
             o0 = _dot(p0.astype(attn_dtype), v1) / jnp.where(l0 == 0.0, 1.0, l0)
 
@@ -523,9 +525,8 @@ def _layer_stack_kernel(
                     st = jnp.where(cross_cols_t < lens[0], st, _NEG_INF)
                 m1s = _quant(jnp.max(st, axis=1, keepdims=True))
                 if width or masked:
-                    p1 = _quant(_safe_exp(st, m1s))
-                else:
-                    p1 = _quant(jnp.exp(st - m1s))
+                    m1s = _safe_max(m1s)
+                p1 = _quant(jnp.exp(st - m1s))
                 l1 = _quant(jnp.sum(p1, axis=1, keepdims=True))   # (N1, 1)
                 o1 = _dot(p1.astype(attn_dtype), v0)
                 o1 = o1 / jnp.where(l1 == 0.0, 1.0, l1)
@@ -538,9 +539,8 @@ def _layer_stack_kernel(
                     s_col = s
                 m1s = _quant(jnp.max(s_col, axis=0, keepdims=True))
                 if width or masked:
-                    p1 = _quant(_safe_exp(s_col, m1s)).astype(attn_dtype)
-                else:
-                    p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
+                    m1s = _safe_max(m1s)
+                p1 = _quant(jnp.exp(s_col - m1s)).astype(attn_dtype)
                 # column sums in (N1, 1) orientation via a ones-vector
                 # contraction on the MXU — a (1, N1) keepdims sum would need a
                 # cross-lane relayout to divide the (N1, D) output
