@@ -129,6 +129,7 @@ def bench_lightglue(
     force_exit_layer: int | None = None,
     force_prune: bool = False,
     downshift: int = -1,
+    full_adaptive: bool = False,
 ):
     """masked=False measures the unmasked executable — what the session
     dispatches for pairs that hit the 1024 extraction cap (the analog of the
@@ -216,6 +217,7 @@ def bench_lightglue(
     lens0 = jnp.full((batch,), a0, jnp.int32) if use_lens else None
     lens1 = jnp.full((batch,), a1, jnp.int32) if use_lens else None
     fwd = lightglue.forward_adaptive if adaptive else lightglue.forward
+    fwd_kwargs = {"full": True} if (adaptive and full_adaptive) else {}
 
     def make_fn(iters):
         @jax.jit
@@ -224,7 +226,7 @@ def bench_lightglue(
                 d0 = desc0 + carry.astype(desc0.dtype) * 1e-30
                 out = fwd(
                     params, kpts0, kpts1, d0, desc1, lens0, lens1,
-                    config=config.lightglue, policy=policy,
+                    config=config.lightglue, policy=policy, **fwd_kwargs,
                 )
                 m = filter_matches(
                     out.scores, config.match_threshold, config.max_matches
@@ -504,6 +506,14 @@ def main():
             bench_lightglue(
                 Precision.BF16, adaptive=True, depth_only=True,
                 force_exit_layer=9,
+            )
+        )
+        # the session's cap-full dispatch for depth-only adaptive: the
+        # r5 unmasked variant (masking wheres are no-ops at full buckets)
+        extra["lightglue_bf16_adaptive_depth_exit9_full_1x1024_ms"] = (
+            bench_lightglue(
+                Precision.BF16, adaptive=True, depth_only=True,
+                force_exit_layer=9, full_adaptive=True,
             )
         )
         # pruning-pays pair: heavy per-layer width pruning with NO early

@@ -968,6 +968,7 @@ def transformer_stack(
         "width_confidence",
         "layer_offset",
         "total_layers",
+        "masked",
     ),
 )
 def transformer_stack_adaptive(
@@ -992,6 +993,7 @@ def transformer_stack_adaptive(
     stat_dtype=jnp.float32,
     attn_dtype=None,
     cross_transposed: Optional[bool] = None,
+    masked: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """All layers in one kernel WITH in-kernel adaptive depth (early exit).
 
@@ -1091,7 +1093,12 @@ def transformer_stack_adaptive(
         head_dim=head_dim,
         stat_dtype=stat_dtype,
         attn_dtype=attn_dtype,
-        masked=True,
+        # masked=False is the FULL-BUCKET adaptive variant (every pair's
+        # length == bucket): the per-head S-masking wheres and Q-row
+        # zeroing are no-ops there and cost ~5% (bench masked 1.082 vs
+        # unmasked 1.031) — the session dispatches it for cap-full batches
+        # (depth-only; width masks via the keep rows regardless)
+        masked=masked,
         quantized=quantized,
         w8a8=quantized and _w8a8_default(),
         cross_transposed=cross_transposed,

@@ -751,6 +751,7 @@ def forward_adaptive(
     config: LightGlueConfig,
     policy: DTypePolicy,
     force_loop: bool = False,
+    full: bool = False,
 ) -> AdaptiveOutput:
     """Adaptive-depth + keypoint-pruning forward, entirely on device.
 
@@ -774,13 +775,13 @@ def forward_adaptive(
     with jax.default_matmul_precision(policy.matmul_precision):
         return _forward_adaptive_impl(
             params, kpts0, kpts1, desc0, desc1, lengths0, lengths1,
-            config=config, policy=policy, force_loop=force_loop,
+            config=config, policy=policy, force_loop=force_loop, full=full,
         )
 
 
 def _forward_adaptive_impl(
     params, kpts0, kpts1, desc0, desc1, lengths0, lengths1, *, config, policy,
-    force_loop=False,
+    force_loop=False, full=False,
 ):
     n_layers = config.n_layers
     num_heads = (
@@ -870,6 +871,9 @@ def _forward_adaptive_impl(
                 exit_layer=exit_layer,
             )
             return _adaptive_tail(params, final, m, n, config, n_layers)
+        # full=True: every pair fills its bucket exactly (the session's
+        # cap-full dispatch) — the masking wheres are no-ops and the
+        # unmasked adaptive variant skips them (~5% of the step)
         fd0, fd1, exit_layer = layer_stack.transformer_stack_adaptive(
             params["layers"],
             params["token"],
@@ -884,6 +888,7 @@ def _forward_adaptive_impl(
             depth_confidence=dc,
             stat_dtype=policy.attn_stat_dtype,
             attn_dtype=policy.attn_in_dtype,
+            masked=not full,
         )
         final = dict(
             d0=fd0,

@@ -145,10 +145,13 @@ class MatcherSession:
             config.lightglue.depth_confidence > 0
             or config.lightglue.width_confidence > 0
         )
-        # adaptive always consumes lengths, so full is a no-op there —
-        # normalize it out of the key or a full batch would trigger a second
-        # identical (and remotely slow) compile
-        full = full and not adaptive
+        # depth-only adaptive has a genuine unmasked (full-bucket) variant
+        # (r5: forward_adaptive(full=True) skips the no-op masking wheres,
+        # ~5% of the step). Width pruning masks via the keep rows
+        # regardless, so full stays normalized out there to avoid a second
+        # identical (and remotely slow) compile.
+        width = config.lightglue.width_confidence > 0
+        full = full and not width
         key = (bucket0, bucket1, full)
         if key not in self._match_cache:
             _log.info(
@@ -172,6 +175,7 @@ class MatcherSession:
                         lengths1,
                         config=config.lightglue,
                         policy=policy,
+                        full=full,
                     )
                 else:
                     out = lightglue.forward(

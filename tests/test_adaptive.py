@@ -437,3 +437,35 @@ def test_one_image_fully_retired_stays_finite(rng, precision):
     assert int(out.exit_layer[0]) == n_layers
     for leaf in (out.scores, out.index0, out.index1):
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_full_bucket_adaptive_matches_masked(rng):
+    """The r5 full-bucket (unmasked) depth-only adaptive variant must equal
+    the masked dispatch when every pair's length equals the bucket — the
+    masking wheres it skips are no-ops there."""
+    n_layers = 4
+    config = LightGlueConfig(n_layers=n_layers, depth_confidence=0.95)
+    token = {
+        "w": np.zeros((n_layers - 1, 256, 1), np.float32),
+        "b": np.where(
+            np.arange(n_layers - 1)[:, None] >= 1, 10.0, -10.0
+        ).astype(np.float32),  # exit pinned at layer 2
+    }
+    params = _params(n_layers, token=token)
+    k0, k1, d0, d1, _, _ = _inputs(rng)
+    full_lens = (jnp.full((1,), N, jnp.int32), jnp.full((1,), N, jnp.int32))
+    masked_out = lg.forward_adaptive(
+        params, k0, k1, d0, d1, *full_lens, config=config, policy=POLICY
+    )
+    full_out = lg.forward_adaptive(
+        params, k0, k1, d0, d1, *full_lens, config=config, policy=POLICY,
+        full=True,
+    )
+    assert int(full_out.exit_layer[0]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(full_out.exit_layer), np.asarray(masked_out.exit_layer)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full_out.scores), np.asarray(masked_out.scores),
+        atol=1e-6, rtol=1e-6,
+    )
