@@ -260,6 +260,7 @@ def make_parallel_match_fn(
 def make_parallel_adaptive_fn(
     mesh: Mesh,
     config: PipelineConfig,
+    full: bool = False,
 ):
     """Jitted shard_map step for the ADAPTIVE rung: data-parallel
     ``forward_adaptive`` (early depth exit + width pruning) over the mesh.
@@ -283,6 +284,7 @@ def make_parallel_adaptive_fn(
             lengths1,
             config=config.lightglue,
             policy=policy,
+            full=full,
         )
 
     def build(lg_params):
