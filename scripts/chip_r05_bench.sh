@@ -42,12 +42,19 @@ run() {
 }
 
 run bench_final  5400 python bench.py
+RC1=$?
 run bench_final2 3600 python bench.py
-echo "$(date +%T) final bench chain done" | tee -a "$OUT/log"
+RC2=$?
+echo "$(date +%T) final bench chain done (rc $RC1/$RC2)" | tee -a "$OUT/log"
 
+# only promote artifacts whose run actually succeeded — a truncated
+# last-attempt output must never be committed as round evidence
 DEST="golden/chip_r05"
 mkdir -p "$DEST"
 cp -f "$OUT"/bench_final*.out "$OUT"/log "$DEST"/ 2>/dev/null
-cp -f "$OUT"/bench_final.out "$DEST"/bench.out 2>/dev/null
-cp -f "$OUT"/bench_final2.out "$DEST"/bench2.out 2>/dev/null
+[ "$RC1" -eq 0 ] && cp -f "$OUT"/bench_final.out "$DEST"/bench.out
+[ "$RC2" -eq 0 ] && cp -f "$OUT"/bench_final2.out "$DEST"/bench2.out
+if [ "$RC1" -ne 0 ] || [ "$RC2" -ne 0 ]; then
+  echo "$(date +%T) WARNING: a bench run FAILED — inspect before committing"     | tee -a "$OUT/log"
+fi
 echo "$(date +%T) evidence copied to $DEST (commit it)" | tee -a "$OUT/log"

@@ -149,9 +149,17 @@ class MatcherSession:
         # (r5: forward_adaptive(full=True) skips the no-op masking wheres,
         # ~5% of the step). Width pruning masks via the keep rows
         # regardless, so full stays normalized out there to avoid a second
-        # identical (and remotely slow) compile.
+        # identical (and remotely slow) compile. For adaptive, full is
+        # also restricted to the CAP bucket — the only variant warmup
+        # compiles; a rarely-full smaller bucket would otherwise stall a
+        # serving batch on a remote compile to save ~5% on one dispatch.
         width = config.lightglue.width_confidence > 0
-        full = full and not width
+        adaptive_cap_full = (
+            bucket0 == bucket1 == max(config.buckets)
+            if (adaptive and not width)
+            else True
+        )
+        full = full and not width and adaptive_cap_full
         key = (bucket0, bucket1, full)
         if key not in self._match_cache:
             _log.info(
