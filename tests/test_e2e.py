@@ -230,6 +230,30 @@ def test_warmup_covers_cap_full_variant():
     assert (128, 128, False) in session._match_cache
 
 
+def test_adaptive_full_restricted_to_cap_bucket():
+    """Adaptive depth-only full=True dispatch is gated to the cap bucket:
+    warmup only compiles the cap variant, so a rarely-full smaller bucket
+    must normalize to the masked executable instead of stalling a serving
+    batch on a fresh remote compile (session.py cap-bucket gate)."""
+    config = PipelineConfig(
+        superpoint=SuperPointConfig(max_num_keypoints=128),
+        lightglue=LightGlueConfig(n_layers=2, depth_confidence=0.95),
+        precision=Precision.FP32,
+        buckets=(64, 128),
+        max_matches=64,
+    )
+    session = MatcherSession(config=config)
+    session._match_fn(64, 64, full=True)
+    assert (64, 64, False) in session._match_cache, (
+        "non-cap full dispatch did not normalize to masked"
+    )
+    assert (64, 64, True) not in session._match_cache
+    session._match_fn(128, 128, full=True)
+    assert (128, 128, True) in session._match_cache, (
+        "cap-bucket full dispatch lost its unmasked variant"
+    )
+
+
 def test_odd_width_frame_extract_and_match():
     """480x600 (w % 128 != 0): the fused-extraction hedge routes TPU to the
     dense NMS+tiled-topk path (pipeline/extract.py fused_ok); this drives
